@@ -1,0 +1,73 @@
+"""Runtime configuration for the TPU DSP framework.
+
+This is the TPU-native analog of the reference's ``MultiCoreSettings``
+(multicore_support/threading.rs:199-280): where the reference carries
+per-vector thread-count thresholds and a one-time calibration, we carry the
+device mesh, block sizes for the blocked overlap-save pipeline, and the dtype
+policy.  There is no thread fan-out to configure — XLA parallelizes within a
+chip and ``jax.sharding`` across chips.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DspConfig:
+    """Global knobs, the ``MultiCoreSettings`` analog.
+
+    Attributes:
+      overlap_save_min_len: signal length above which ``convolve_signal``
+        switches from one big FFT to the blocked overlap-save pipeline
+        (reference threshold: 10_000, convolution.rs:530-537).
+      overlap_save_min_imp_len: minimum impulse-response length for the
+        blocked path (reference: >15).
+      overlap_save_len_ratio: ``len > ratio * imp_len`` gate (reference: 10).
+      direct_conv_max_imp_len: kernel lengths up to this use the direct
+        (gather / matmul) path rather than FFT (reference SIMD gate: 202).
+      fft_block_len: 0 = auto (``next_pow2(imp_len)`` per reference
+        convolution.rs:536, clamped to ``next_pow2(4*(imp_len-1))``).
+    """
+
+    overlap_save_min_len: int = 10_000
+    overlap_save_min_imp_len: int = 15
+    overlap_save_len_ratio: int = 10
+    direct_conv_max_imp_len: int = 202
+    direct_conv_min_len: int = 1_000
+    fft_block_len: int = 0
+
+
+_default_config = DspConfig()
+
+
+def default_config() -> DspConfig:
+    return _default_config
+
+
+def set_default_config(cfg: DspConfig) -> None:
+    global _default_config
+    _default_config = cfg
+
+
+def enable_x64() -> None:
+    """Enable float64/complex128 flavors (the reference's ``64`` types).
+
+    On TPU f64 is emulated and slow; the reference documents a ~2x
+    f32-over-f64 speed guidance (vector_types/mod.rs:121-123).  On TPU the
+    gap is far larger, so f64 flavors are intended for CPU verification and
+    the ``*_prec`` contracts.
+    """
+    jax.config.update("jax_enable_x64", True)
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "dsp") -> jax.sharding.Mesh:
+    """Creates a 1-D device mesh over which long signals / channels shard."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.sharding.Mesh(np.array(devices), (axis_name,))

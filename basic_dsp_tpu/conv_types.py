@@ -1,0 +1,283 @@
+"""Analytic convolution kernels and lookup tables.
+
+Behavioral parity with reference conv_types.rs (RaisedCosineFunction
+conv_types.rs:390-460, SincFunction conv_types.rs:462-518, linear-interpolated
+lookup tables conv_types.rs:66-388).  All ``calc`` functions here are
+*vectorized*: they take a jnp array of x positions and return an array, so a
+whole tap set evaluates as one fused XLA expression — the reference instead
+calls ``calc`` per tap inside its MAC loops.
+
+Convention: objects expose ``calc(x)`` for the time-domain (impulse response)
+role and ``calc_freq(x)`` for the frequency-domain (frequency response) role,
+matching the reference's pair of trait impls on the same struct.  Lookup-table
+types implement only the role they represent.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class RealImpulseResponse:
+    """Time-domain, real-valued convolution function (conv_types.rs:15-25)."""
+
+    is_symmetric: bool = True
+
+    def calc(self, x):
+        raise NotImplementedError
+
+
+class RealFrequencyResponse:
+    """Frequency-domain, real-valued response (conv_types.rs:28-38)."""
+
+    is_symmetric: bool = True
+
+    def calc_freq(self, x):
+        raise NotImplementedError
+
+
+class RaisedCosineFunction(RealImpulseResponse, RealFrequencyResponse):
+    """Raised cosine pulse (reference conv_types.rs:390-460).
+
+    ``calc``: time-domain impulse response with singularity handling at
+    ``x == 0`` and ``|x| == 1/(2*rolloff)``.
+    ``calc_freq``: piecewise frequency response assuming ``x_delta == 1``.
+    """
+
+    def __init__(self, rolloff: float):
+        self.rolloff = float(rolloff)
+
+    def calc(self, x):
+        x = jnp.asarray(x)
+        r = jnp.asarray(self.rolloff, dtype=x.dtype)
+        pi = jnp.pi
+        pi_x = pi * x
+        arg = 2.0 * r * x
+        # Where denominators vanish substitute a safe value, then patch with
+        # the analytic limits (same special cases as the reference).
+        denom = pi_x * (1.0 - arg * arg)
+        at_zero = x == 0
+        at_pole = jnp.abs(jnp.abs(arg) - 1.0) < 1e-12
+        safe_denom = jnp.where(at_zero | at_pole, 1.0, denom)
+        general = jnp.sin(pi_x) * jnp.cos(pi_x * r) / safe_denom
+        pole_arg = pi / 2.0 / r
+        pole_value = jnp.sin(pole_arg) / pole_arg * pi / 4.0
+        return jnp.where(at_zero, 1.0, jnp.where(at_pole, pole_value, general))
+
+    def calc_freq(self, x):
+        x = jnp.asarray(x)
+        r = jnp.asarray(self.rolloff, dtype=x.dtype)
+        ax = jnp.abs(x)
+        pi = jnp.pi
+        transition = 0.5 * (1.0 + jnp.cos(pi / r * (ax - (1.0 - r)) / 2.0))
+        return jnp.where(
+            ax <= (1.0 - r),
+            jnp.ones_like(ax),
+            jnp.where(ax <= (1.0 + r), transition, jnp.zeros_like(ax)),
+        )
+
+
+class SincFunction(RealImpulseResponse, RealFrequencyResponse):
+    """sinc pulse (reference conv_types.rs:462-518).
+
+    ``calc``: ``sin(pi x)/(pi x)`` with ``calc(0) == 1``.
+    ``calc_freq``: ideal lowpass — 1 for ``|x| <= 1`` else 0.
+    """
+
+    def calc(self, x):
+        x = jnp.asarray(x)
+        return jnp.sinc(x)
+
+    def calc_freq(self, x):
+        x = jnp.asarray(x)
+        return jnp.where(jnp.abs(x) <= 1.0, 1.0, 0.0).astype(
+            jnp.result_type(x, jnp.float32))
+
+
+class ComplexImpulseResponse:
+    """Time-domain complex convolution function (conv_types.rs:41-51)."""
+
+    is_symmetric: bool = False
+
+    def calc(self, x):
+        raise NotImplementedError
+
+
+class ComplexFrequencyResponse:
+    """Frequency-domain complex response (conv_types.rs:54-64)."""
+
+    is_symmetric: bool = False
+
+    def calc_freq(self, x):
+        raise NotImplementedError
+
+
+def _lut_lookup(table: jnp.ndarray, delta: float, x):
+    """Linear interpolation between table bins.
+
+    Parity with reference conv_types.rs:127-181: position is mapped via
+    ``x/delta + center``; out-of-range (``round >= len`` or the *unclamped*
+    neighbor falling outside) returns 0 / the edge bin exactly as the scalar
+    logic does.
+    """
+    x = jnp.asarray(x)
+    length = table.shape[0]
+    center = length // 2
+    pos = x / jnp.asarray(delta, dtype=x.dtype) + center
+    rounded = jnp.round(pos)
+    ridx = rounded.astype(jnp.int32)
+    out_of_range = (ridx >= length) | (ridx < 0)
+    safe_ridx = jnp.clip(ridx, 0, length - 1)
+    y0 = table[safe_ridx]
+    # Neighbor toward the fractional side.
+    frac = pos - rounded
+    step = jnp.where(frac > 0, 1, -1).astype(jnp.int32)
+    nidx = safe_ridx + step
+    neighbor_valid = (nidx >= 0) & (nidx < length)
+    safe_nidx = jnp.clip(nidx, 0, length - 1)
+    y1 = table[safe_nidx]
+    interp = y0 + (y1 - y0) * jnp.abs(frac).astype(table.dtype)
+    exactly_at_bin = jnp.abs(frac) < 1e-6
+    value = jnp.where(exactly_at_bin | ~neighbor_valid, y0, interp)
+    return jnp.where(out_of_range, jnp.zeros_like(value), value)
+
+
+class _LinearTableLookup:
+    """Shared base for the four lookup-table flavors (conv_types.rs:66-124)."""
+
+    def __init__(self, table, delta: float, is_symmetric: bool):
+        self._table = jnp.asarray(table)
+        self._delta = float(delta)
+        self.is_symmetric = bool(is_symmetric)
+
+    @property
+    def table(self):
+        return self._table
+
+    @property
+    def delta(self) -> float:
+        return self._delta
+
+    def _calc(self, x):
+        return _lut_lookup(self._table, self._delta, x)
+
+    @classmethod
+    def _from_function(cls, fun, delta: float, length: int, freq: bool,
+                       to_complex: bool):
+        """``from_conv_function`` (reference conv_types.rs:198-211):
+        samples ``2*len+1`` points at ``i*delta`` for ``i in -len..len``."""
+        i = np.arange(-length, length + 1)
+        x = jnp.asarray(i * float(delta))
+        values = fun.calc_freq(x) if freq else fun.calc(x)
+        if to_complex:
+            values = values.astype(jnp.result_type(values, jnp.complex64))
+        return cls(values, delta, fun.is_symmetric)
+
+
+class RealTimeLinearTableLookup(_LinearTableLookup, RealImpulseResponse):
+    def calc(self, x):
+        return self._calc(x)
+
+    @classmethod
+    def from_conv_function(cls, fun: RealImpulseResponse, delta: float,
+                           length: int) -> "RealTimeLinearTableLookup":
+        return cls._from_function(fun, delta, length, freq=False,
+                                  to_complex=False)
+
+    @classmethod
+    def from_raw_parts(cls, table, delta, is_symmetric):
+        return cls(table, delta, is_symmetric)
+
+    def to_complex(self) -> "ComplexTimeLinearTableLookup":
+        """conv_types.rs:223-253 — re-tag the real table as complex."""
+        return ComplexTimeLinearTableLookup(
+            self._table.astype(jnp.result_type(self._table, jnp.complex64)),
+            self._delta, self.is_symmetric)
+
+    def fft(self) -> "RealFrequencyLinearTableLookup":
+        """conv_types.rs:323-354 — magnitude spectrum of the table."""
+        from .ops import fft_ops
+        n = self._table.shape[0]
+        freq = fft_ops.fft_shifted(self._table.astype(
+            jnp.result_type(self._table, jnp.complex64)))
+        new_delta = self._delta * n
+        return RealFrequencyLinearTableLookup(
+            jnp.abs(freq), new_delta, self.is_symmetric)
+
+
+class RealFrequencyLinearTableLookup(_LinearTableLookup, RealFrequencyResponse):
+    def calc_freq(self, x):
+        return self._calc(x)
+
+    @classmethod
+    def from_conv_function(cls, fun: RealFrequencyResponse, delta: float,
+                           length: int) -> "RealFrequencyLinearTableLookup":
+        return cls._from_function(fun, delta, length, freq=True,
+                                  to_complex=False)
+
+    @classmethod
+    def from_raw_parts(cls, table, delta, is_symmetric):
+        return cls(table, delta, is_symmetric)
+
+    def to_complex(self) -> "ComplexFrequencyLinearTableLookup":
+        return ComplexFrequencyLinearTableLookup(
+            self._table.astype(jnp.result_type(self._table, jnp.complex64)),
+            self._delta, self.is_symmetric)
+
+
+class ComplexTimeLinearTableLookup(_LinearTableLookup, ComplexImpulseResponse):
+    def calc(self, x):
+        return self._calc(x)
+
+    @classmethod
+    def from_conv_function(cls, fun: ComplexImpulseResponse, delta: float,
+                           length: int) -> "ComplexTimeLinearTableLookup":
+        return cls._from_function(fun, delta, length, freq=False,
+                                  to_complex=True)
+
+    @classmethod
+    def from_raw_parts(cls, table, delta, is_symmetric):
+        return cls(table, delta, is_symmetric)
+
+    def to_real(self) -> RealTimeLinearTableLookup:
+        """conv_types.rs:255-287 — drop imaginary parts."""
+        return RealTimeLinearTableLookup(jnp.real(self._table), self._delta,
+                                         self.is_symmetric)
+
+    def fft(self) -> "ComplexFrequencyLinearTableLookup":
+        """conv_types.rs:289-321 — FFT (with fft shift) of the table."""
+        from .ops import fft_ops
+        n = self._table.shape[0]
+        freq = fft_ops.fft_shifted(self._table)
+        return ComplexFrequencyLinearTableLookup(freq, self._delta * n,
+                                                 self.is_symmetric)
+
+
+class ComplexFrequencyLinearTableLookup(_LinearTableLookup,
+                                        ComplexFrequencyResponse):
+    def calc_freq(self, x):
+        return self._calc(x)
+
+    @classmethod
+    def from_conv_function(cls, fun: ComplexFrequencyResponse, delta: float,
+                           length: int) -> "ComplexFrequencyLinearTableLookup":
+        return cls._from_function(fun, delta, length, freq=True,
+                                  to_complex=True)
+
+    @classmethod
+    def from_raw_parts(cls, table, delta, is_symmetric):
+        return cls(table, delta, is_symmetric)
+
+    def to_real(self) -> RealFrequencyLinearTableLookup:
+        return RealFrequencyLinearTableLookup(jnp.real(self._table),
+                                              self._delta, self.is_symmetric)
+
+    def ifft(self) -> ComplexTimeLinearTableLookup:
+        """conv_types.rs:356-388 — inverse FFT of the table."""
+        from .ops import fft_ops
+        n = self._table.shape[0]
+        time = fft_ops.ifft_shifted(self._table)
+        return ComplexTimeLinearTableLookup(time, self._delta * n,
+                                            self.is_symmetric)

@@ -1,0 +1,250 @@
+"""Convolution family: circular centered convolution, analytic-function
+convolution, frequency-response multiplication, blocked overlap-save.
+
+Semantics (pinned by the reference's identity tests):
+
+``convolve_signal`` computes a *circular* convolution with the kernel
+centered (time_freq/mod.rs:275-361).  With ``m = len(h)``, ``n = len(x)``::
+
+    c = m - m//2                      # == ceil(m/2)
+    out[i] = sum_k x[(i + c - 1 - k) mod n] * h[k]          (m <= n)
+
+pinned by ``shift_left_by_1_as_conv`` (convolution.rs:819-842: kernel
+[0,0,1] shifts right by... produces [9,0,1,...,8]) and
+``convolve_complex_vectors32``.  When the kernel is *longer* than the signal
+the reference clips it around its center (mod.rs:284-295)::
+
+    h_eff = h[m//2 - n//2 : m//2 + n//2];  c = n//2
+
+The TPU realization is spectral: we lay the kernel out on the circle as
+
+    g = roll(pad_end(h_eff, n), -(c-1))
+
+so that ``out = ifft(fft(x) * fft(g))`` — one fused XLA FFT pipeline instead
+of the reference's four dispatch paths (SIMD/GPU/overlap-save/scalar,
+convolution.rs:477-542).  For long signals :func:`overlap_save` evaluates the
+same quantity as a *batched* small-FFT pipeline (better HBM locality, and the
+unit that shards across chips with halo exchange).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def next_power_of_two(value: int) -> int:
+    """Reference convolution.rs:270-282."""
+    if value <= 1:
+        return value if value == 1 else 1
+    return 1 << (value - 1).bit_length()
+
+
+def _clip_kernel(n: int, m: int):
+    """Returns (slice_start, slice_len, c) for the effective kernel."""
+    if m <= n:
+        return 0, m, m - m // 2
+    center = m // 2
+    cl = n // 2
+    return center - cl, 2 * cl, cl
+
+
+def kernel_layout(h: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Lays the centered kernel out on a length-``n`` circle so that plain
+    circular convolution with it reproduces the reference alignment."""
+    m = h.shape[-1]
+    start, length, c = _clip_kernel(n, m)
+    h_eff = h[..., start:start + length]
+    pad = [(0, 0)] * (h.ndim - 1) + [(0, n - length)]
+    g = jnp.pad(h_eff, pad)
+    return jnp.roll(g, -(c - 1), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("is_complex",))
+def convolve_signal_fft(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
+    """Whole-signal spectral path for the centered circular convolution."""
+    n = x.shape[-1]
+    g = kernel_layout(h, n)
+    cdtype = jnp.result_type(x.dtype, jnp.complex64)
+    out = jnp.fft.ifft(jnp.fft.fft(x.astype(cdtype), axis=-1)
+                       * jnp.fft.fft(g.astype(cdtype), axis=-1), axis=-1)
+    return out if is_complex else jnp.real(out).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("is_complex", "fft_len"))
+def overlap_save(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
+                 fft_len: int):
+    """Blocked overlap-save evaluation of the same circular centered
+    convolution (reference overlap_discard, convolution.rs:304-462).
+
+    Instead of the reference's sequential block loop with an overlap-restore
+    buffer, all blocks are gathered at once (circular indexing supplies both
+    the inter-block overlap and the head/tail wrap-around that the reference
+    patches up with scalar convolution) and pushed through one *batched*
+    FFT -> multiply -> IFFT pipeline — the shape XLA/TPU executes best.
+    Each block is independent, which is exactly what lets the distributed
+    layer scatter blocks across chips with a ppermute halo exchange.
+    """
+    n = x.shape[-1]
+    m = h.shape[-1]
+    start, length, c = _clip_kernel(n, m)
+    m_eff = length
+    overlap = m_eff - 1
+    step = fft_len - overlap
+    assert step > 0
+    nb = -(-n // step)  # cdiv
+    cdtype = jnp.result_type(x.dtype, jnp.complex64)
+
+    g = kernel_layout(h[..., start:start + length], fft_len)
+    spectrum = jnp.fft.fft(g.astype(cdtype), axis=-1)
+
+    # Window j covers outputs [j*step, (j+1)*step); its input span is
+    # [j*step - (m_eff - c), j*step + step + c - 1), circularly indexed.
+    block_starts = jnp.arange(nb) * step - (m_eff - c)
+    offs = jnp.arange(fft_len)
+    idx = (block_starts[:, None] + offs[None, :]) % n
+    windows = x[..., idx].astype(cdtype)  # (..., nb, fft_len)
+
+    conv = jnp.fft.ifft(jnp.fft.fft(windows, axis=-1) * spectrum, axis=-1)
+    valid = conv[..., m_eff - c: m_eff - c + step]
+    out = valid.reshape(valid.shape[:-2] + (nb * step,))[..., :n]
+    return out if is_complex else jnp.real(out).astype(x.dtype)
+
+
+def pick_fft_len(imp_len: int, requested: int = 0) -> int:
+    """Reference convolution.rs:325-331/536: ``next_pow2(imp_len)`` requested,
+    raised to at least ``next_pow2(4*(imp_len-1))``."""
+    min_len = next_power_of_two(4 * max(imp_len - 1, 1))
+    req = requested if requested else next_power_of_two(imp_len)
+    return max(req, min_len)
+
+
+def convolve_signal(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
+                    cfg=None) -> jnp.ndarray:
+    """Dispatch mirroring the reference thresholds (convolution.rs:477-542)
+    onto the two TPU paths."""
+    from .. import config as _config
+    cfg = cfg or _config.default_config()
+    n = x.shape[-1]
+    m = h.shape[-1]
+    if (n > cfg.overlap_save_min_len and m > cfg.overlap_save_min_imp_len
+            and n > cfg.overlap_save_len_ratio * m):
+        return overlap_save(x, h, is_complex,
+                            pick_fft_len(min(m, n), cfg.fft_block_len))
+    return convolve_signal_fft(x, h, is_complex)
+
+
+def convolve_function(x: jnp.ndarray, fun, ratio: float, conv_len: int,
+                      is_complex: bool) -> jnp.ndarray:
+    """Convolution against an analytic impulse response
+    (reference convolve_function_priv, time_freq/mod.rs:174-213)::
+
+        L = min(conv_len, points)
+        out[i] = sum_{s=-L..L} x[(i-s) mod n] * fun(s * ratio)
+
+    The taps are sampled once as a vector and the result reduces to
+    ``convolve_signal`` with a ``2L+1``-tap kernel scattered onto the circle
+    (duplicate positions accumulate, reproducing the reference's multiple
+    wrap-around of its WrappingIterator when ``2L+1 > n``).
+    """
+    n = x.shape[-1]
+    L = min(conv_len, n)
+    s = jnp.arange(-L, L + 1, dtype=jnp.result_type(x.real.dtype, jnp.float32))
+    taps = fun.calc(s * ratio)
+    if is_complex:
+        taps = taps.astype(jnp.result_type(taps, jnp.complex64))
+    # out[i] = sum_s x[(i-s) mod n] taps[s]  — circular conv with taps at
+    # signed offsets s; fold onto the circle with accumulation.
+    g = jnp.zeros((n,), dtype=taps.dtype)
+    g = g.at[jnp.arange(-L, L + 1) % n].add(taps)
+    cdtype = jnp.result_type(x.dtype, g.dtype, jnp.complex64)
+    out = jnp.fft.ifft(jnp.fft.fft(x.astype(cdtype), axis=-1)
+                       * jnp.fft.fft(g.astype(cdtype), axis=-1), axis=-1)
+    if is_complex or jnp.iscomplexobj(taps):
+        return out
+    return jnp.real(out).astype(x.dtype)
+
+
+def fft_swap_x(is_fft_shifted: bool, x, x_max):
+    """Maps an x-axis value the way fft_shift transforms the axis
+    (reference time_freq/mod.rs:65-77)."""
+    if not is_fft_shifted:
+        return x / x_max
+    return jnp.where(x <= 0, 1.0 + x / x_max, -((x_max - x + 1.0) / x_max))
+
+
+def multiply_function(data: jnp.ndarray, fun_calc, ratio: float,
+                      is_fft_shifted: bool,
+                      is_symmetric: bool = True) -> jnp.ndarray:
+    """Frequency-response multiplication
+    (reference multiply_function_priv, time_freq/mod.rs:612-723)::
+
+        data[index] *= ratio * fun(fft_swap_x(shifted, j, max) * ratio)
+
+    For asymmetric responses ``j = index - (points - points%2)/2``
+    (mod.rs:627-650).  For symmetric responses the reference walks the two
+    halves as mirror pairs (mod.rs:651-722, via execute_sym_pairs) which
+    amounts to ``j = -|index - points//2|`` — under the fft-shifted axis
+    mapping this produces a *different, mirror-symmetric* response than the
+    asymmetric walk (pinned by interpolatei goldens,
+    interpolation.rs:653-678).
+    """
+    p = data.shape[-1]
+    rdtype = jnp.zeros((), data.dtype).real.dtype
+    offset = p % 2
+    half = (p - offset) / 2.0
+    i = jnp.arange(p, dtype=rdtype)
+    if is_symmetric:
+        j = -jnp.abs(i - p // 2)
+    else:
+        j = i - half
+    x = fft_swap_x(is_fft_shifted, j, jnp.asarray(half, dtype=rdtype)) * ratio
+    resp = fun_calc(x)
+    return data * (ratio * resp).astype(data.dtype)
+
+
+def multiply_complex_exponential(data: jnp.ndarray, a: float, b: float,
+                                 delta: float) -> jnp.ndarray:
+    """x[i] *= exp(j*(a*delta*i + b*delta)) — the chirp/mixer primitive
+    (reference complex_ops.rs:81-105; note the code scales *both* a and b by
+    delta)."""
+    n = data.shape[-1]
+    i = jnp.arange(n, dtype=jnp.zeros((), data.dtype).real.dtype)
+    phase = (a * delta) * i + (b * delta)
+    return data * jnp.exp(1j * phase).astype(data.dtype)
+
+
+def apply_linear_phase(freq: jnp.ndarray, delay: float) -> jnp.ndarray:
+    """Linear phase on an *unshifted* spectrum == time delay (reference
+    interpolation.rs:317-339): positive bins get phase ``inc*k`` for
+    ``k=0..pos-1``; the trailing ``neg = points - points//2`` bins get
+    ``inc*(k - neg)``."""
+    p = freq.shape[-1]
+    pos = p // 2
+    neg = p - pos
+    inc = 2.0 * jnp.pi * delay / p
+    rdtype = jnp.zeros((), freq.dtype).real.dtype
+    k = jnp.concatenate([jnp.arange(pos), jnp.arange(-neg, 0)]).astype(rdtype)
+    return freq * jnp.exp(1j * inc * k).astype(freq.dtype)
+
+
+def correlate(x: jnp.ndarray, prepared: jnp.ndarray) -> jnp.ndarray:
+    """Cross-correlation against a prepared (FFT'd + conjugated) argument
+    (reference correlation.rs:131-163): zero-pad Surround to the argument's
+    length, multiply spectra, inverse transform, fftshift."""
+    from . import reorg_ops
+    p = prepared.shape[-1]
+    padded = reorg_ops.zero_pad(x, p, "surround")
+    out = jnp.fft.ifft(jnp.fft.fft(padded, axis=-1) * prepared, axis=-1)
+    return jnp.fft.fftshift(out, axes=-1)
+
+
+def prepare_argument(x: jnp.ndarray, padded: bool) -> jnp.ndarray:
+    """Reference correlation.rs:96-118."""
+    from . import reorg_ops
+    if padded:
+        n = x.shape[-1]
+        x = reorg_ops.zero_pad(x, 2 * n - 1, "surround")
+    return jnp.conj(jnp.fft.fft(x, axis=-1))

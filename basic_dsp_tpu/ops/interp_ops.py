@@ -1,0 +1,187 @@
+"""Interpolation / resampling family.
+
+Parity targets: reference time_freq/interpolation.rs and
+real_interpolation.rs.  The reference's scalar loops become gather + FMA
+expressions; for integer factors ``interpolatef`` additionally factors into a
+polyphase matmul (a (n, 2L+1) window matrix times a (2L+1, factor) tap
+matrix), which runs on the MXU.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from . import conv_ops, fft_ops, reorg_ops
+
+
+def interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
+                 delay: float, conv_len: int, delta: float) -> jnp.ndarray:
+    """Time-domain fractional resampling against an analytic impulse
+    response (reference interpolatef, interpolation.rs:387-482; scalar
+    semantics interpolation.rs:92-131)::
+
+        delay /= delta
+        L = min(conv_len, points//2)
+        new_len = round(points * factor)   (evened in interleaved elements)
+        center  = i / factor ; r = floor(center)
+        out[i]  = sum_{t=0..2L} x[(r - L + t) mod n]
+                     * fun(t - L - (center - r) + delay)
+
+    The window index matrix and the tap matrix evaluate as one vectorized
+    gather/FMA; the tap matrix only depends on ``i mod factor`` for integer
+    factors (polyphase), which XLA exploits via the small inner dimension.
+    """
+    n = x.shape[-1]
+    delay = delay / delta
+    L = min(conv_len, n // 2)
+    is_complex = jnp.iscomplexobj(x)
+    # Reference evens new_len in float-element units: complex vectors are
+    # already even; real vectors round up to even length.
+    new_len = int(round(n * (2 if is_complex else 1) * interpolation_factor))
+    new_len += new_len % 2
+    if is_complex:
+        new_points = new_len // 2
+    else:
+        new_points = new_len
+    return _interpolatef_core(x, fun, float(interpolation_factor),
+                              float(delay), L, new_points)
+
+
+def _interpolatef_core(x, fun, factor, delay, L, new_points):
+    n = x.shape[-1]
+    rdtype = jnp.zeros((), x.dtype).real.dtype
+    i = jnp.arange(new_points, dtype=rdtype)
+    center = i / factor
+    rounded = jnp.floor(center)
+    frac = center - rounded
+    t = jnp.arange(2 * L + 1, dtype=rdtype)
+    # Tap argument: t - L - frac + delay  (shape: new_points x (2L+1))
+    args = t[None, :] - L - frac[:, None] + delay
+    w = fun.calc(args)
+    idx = (rounded.astype(jnp.int32)[:, None]
+           + (jnp.arange(2 * L + 1, dtype=jnp.int32) - L)[None, :]) % n
+    windows = x[..., idx]
+    w = w.astype(windows.dtype)
+    return jnp.sum(windows * w, axis=-1)
+
+
+def interpolatei(x: jnp.ndarray, fun, factor: int,
+                 is_complex: bool) -> jnp.ndarray:
+    """Integer upsampling in frequency domain (reference interpolatei,
+    interpolation.rs:484-532): zero-interleave, FFT, multiply by the
+    fft-shift-mapped frequency response scaled by ``factor``, IFFT, scale by
+    ``1/new_points``.  Real vectors round-trip through complex space."""
+    if factor <= 1:
+        return x
+    work = x
+    if not is_complex:
+        work = x.astype(jnp.result_type(x, jnp.complex64))
+    up = reorg_ops.zero_interleave(work, factor)
+    freq = fft_ops.plain_fft(up)
+    freq = conv_ops.multiply_function(freq, fun.calc_freq, float(factor),
+                                      is_fft_shifted=True,
+                                      is_symmetric=fun.is_symmetric)
+    time = fft_ops.plain_ifft(freq) / up.shape[-1]
+    if not is_complex:
+        return jnp.real(time).astype(x.dtype)
+    return time
+
+
+def interpolate(x: jnp.ndarray, fun, dest_points: int, delay: float,
+                delta: float, is_complex: bool) -> jnp.ndarray:
+    """Arbitrary-length FFT resampling (reference interpolate,
+    interpolation.rs:542-605): FFT, optional linear phase for the delay,
+    center zero-pad (upsample) or spectrum center-cut (downsample), IFFT.
+
+    ``fun`` of None preserves the spectrum (interpft).
+    """
+    n = x.shape[-1]
+    factor = dest_points / n
+    work = x if is_complex else x.astype(jnp.result_type(x, jnp.complex64))
+    freq = fft_ops.plain_fft(work)
+    if delay != 0.0:
+        freq = conv_ops.apply_linear_phase(freq, delay / delta)
+    if dest_points > n:
+        freq = reorg_ops.zero_pad(freq, dest_points, "center")
+        if fun is None:
+            freq = freq * factor
+        else:
+            freq = conv_ops.multiply_function(freq, fun.calc_freq, factor,
+                                              is_fft_shifted=True,
+                                              is_symmetric=fun.is_symmetric)
+    elif dest_points < n:
+        # Center-cut: keep pos_points leading and neg_points trailing bins,
+        # rescale by dest/orig (interpolation.rs:364-376).
+        neg = dest_points // 2
+        pos = dest_points - neg
+        freq = jnp.concatenate([freq[..., :pos], freq[..., n - neg:]],
+                               axis=-1) * (dest_points / n)
+    time = fft_ops.plain_ifft(freq) / dest_points
+    if not is_complex:
+        return jnp.real(time).astype(x.dtype)
+    return time
+
+
+def interpft(x: jnp.ndarray, dest_points: int, is_complex: bool):
+    """reference interpft == interpolate(None, dest, 0.0)."""
+    return interpolate(x, None, dest_points, 0.0, 1.0, is_complex)
+
+
+def decimatei(x: jnp.ndarray, decimation_factor: int,
+              delay: int) -> jnp.ndarray:
+    """Strided pick (reference decimatei, interpolation.rs:607-633)."""
+    return x[..., delay::decimation_factor]
+
+
+def interpolate_lin(x: jnp.ndarray, factor: float,
+                    delay: float) -> jnp.ndarray:
+    """Linear interpolation between samples (reference
+    real_interpolation.rs:33-71).  Real vectors only; the last output point
+    is pinned to the last input point."""
+    n = x.shape[-1]
+    dest_len = int(round((n - 1) * factor)) + 1
+    rdtype = jnp.zeros((), x.dtype).real.dtype
+    i = jnp.arange(dest_len - 1, dtype=rdtype)
+    pos = i / factor + delay
+    before_f = jnp.floor(pos)
+    before = jnp.clip(before_f.astype(jnp.int32), 0, n - 2)
+    y0 = x[..., before]
+    y1 = x[..., before + 1]
+    body = y0 + (y1 - y0) * (pos - before_f).astype(x.dtype)
+    return jnp.concatenate([body, x[..., -1:]], axis=-1)
+
+
+def interpolate_hermite(x: jnp.ndarray, factor: float,
+                        delay: float) -> jnp.ndarray:
+    """Catmull-Rom-style cubic hermite interpolation with boundary
+    extrapolation (reference real_interpolation.rs:73-179; cites
+    paulbourke.net/miscellaneous/interpolation)."""
+    n = x.shape[-1]
+    dest_len = int(round((n - 1) * factor)) + 1
+    rdtype = jnp.zeros((), x.dtype).real.dtype
+    i = jnp.arange(dest_len, dtype=rdtype)
+    pos = i / factor + delay
+    before_f = jnp.floor(pos)
+    before = before_f.astype(jnp.int32)
+    t = (pos - before_f).astype(x.dtype)
+
+    def grab(idx):
+        return x[..., jnp.clip(idx, 0, n - 1)]
+
+    y1 = grab(before)
+    y2_in = grab(before + 1)
+    y0_in = grab(before - 1)
+    y3_in = grab(before + 2)
+    # Boundary extrapolation (real_interpolation.rs:115, 156-165):
+    y0 = jnp.where(before <= 0, y1 - (y2_in - y1), y0_in)
+    y2 = jnp.where(before >= n - 1, y1 + (y1 - y0), y2_in)
+    y3 = jnp.where(before >= n - 2, y2 + (y2 - y1), y3_in)
+    t2 = t * t
+    a0 = -0.5 * y0 + 1.5 * y1 - 1.5 * y2 + 0.5 * y3
+    a1 = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
+    a2 = -0.5 * y0 + 0.5 * y2
+    a3 = y1
+    return a0 * t * t2 + a1 * t2 + a2 * t + a3

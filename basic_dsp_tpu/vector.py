@@ -1,0 +1,967 @@
+"""The typed DSP vector layer.
+
+This is the TPU-native re-design of the reference's ``DspVec<S, T, N, D>``
+type-state machine (vector_types/mod.rs:125-140): one internal representation
+— a jnp array (complex dtype for complex vectors — the reference's
+interleaved-float layout disappears) plus metadata ``(domain, number_space,
+delta)`` — wrapped by five flavors:
+
+* :class:`RealTimeVector`, :class:`RealFreqVector`,
+  :class:`ComplexTimeVector`, :class:`ComplexFreqVector`: operations invalid
+  for the flavor raise :class:`~basic_dsp_tpu.errors.DspError` (the Python
+  analog of the reference's compile-time checks).
+* :class:`GenDspVector`: runtime-tracked flavor; invalid operations follow
+  the reference's erroneous-vector protocol (``valid_len == 0``,
+  ``delta == NaN``, vector_types/mod.rs:226-229) instead of raising.
+
+Vectors are **immutable**: every operation returns a new vector (the
+reference's ``&mut self``/consuming-self API maps onto rebinding).  Vectors
+are registered as jax pytrees, so whole chains can be wrapped in ``jax.jit``
+and fuse into single XLA programs — this subsumes the reference's removed
+``combined_ops`` layer (Changelog.md:77) for free.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as _config
+from .errors import DspError, ErrorReason
+from .meta import DataDomain, NumberSpace
+from .ops import conv_ops, fft_ops, interp_ops, reorg_ops, stats_ops
+from .windows import WindowFunction
+
+__all__ = [
+    "DspVector", "RealTimeVector", "RealFreqVector", "ComplexTimeVector",
+    "ComplexFreqVector", "GenDspVector",
+    "to_real_time_vec", "to_real_freq_vec", "to_complex_time_vec",
+    "to_complex_freq_vec", "to_gen_dsp_vec",
+    "interleave_to_complex_time_vec", "interleave_to_complex_freq_vec",
+]
+
+
+def _real_dtype_of(arr) -> jnp.dtype:
+    return jnp.zeros((), arr.dtype).real.dtype
+
+
+def _complex_dtype_for(real_dtype) -> jnp.dtype:
+    return jnp.result_type(real_dtype, jnp.complex64)
+
+
+class DspVector:
+    """Base class holding data + metadata.  See module docstring."""
+
+    # Class-level flavor constraints; None == tracked at runtime (Gen).
+    _SPACE: Optional[NumberSpace] = None
+    _DOMAIN: Optional[DataDomain] = None
+
+    def __init__(self, data, delta: float = 1.0,
+                 domain: Optional[DataDomain] = None,
+                 space: Optional[NumberSpace] = None):
+        data = jnp.asarray(data)
+        if data.ndim != 1:
+            raise ValueError("DSP vectors are 1-D; use Matrix for channels")
+        space = space or self._SPACE
+        domain = domain or self._DOMAIN
+        if space is None or domain is None:
+            raise ValueError("GenDspVector requires explicit domain and space")
+        if space == NumberSpace.COMPLEX and not jnp.iscomplexobj(data):
+            data = data.astype(_complex_dtype_for(data.dtype))
+        if space == NumberSpace.REAL and jnp.iscomplexobj(data):
+            raise ValueError("real vector constructed from complex data")
+        self._data = data
+        self._delta = float(delta)
+        self._domain = domain
+        self._space = space
+
+    # ------------------------------------------------------------------
+    # Construction helpers
+    # ------------------------------------------------------------------
+    @classmethod
+    def _class_for(cls, space: NumberSpace, domain: DataDomain):
+        if cls is GenDspVector or cls._SPACE is None:
+            return GenDspVector
+        return _FLAVORS[(space, domain)]
+
+    def _make(self, data, delta: Optional[float] = None,
+              domain: Optional[DataDomain] = None,
+              space: Optional[NumberSpace] = None) -> "DspVector":
+        """Builds a result vector, keeping gen-ness of self."""
+        domain = domain or self._domain
+        space = space or self._space
+        delta = self._delta if delta is None else delta
+        if isinstance(self, GenDspVector):
+            return GenDspVector(data, delta, domain, space)
+        klass = _FLAVORS[(space, domain)]
+        return klass(data, delta)
+
+    def _invalid(self, reason: ErrorReason,
+                 domain: Optional[DataDomain] = None,
+                 space: Optional[NumberSpace] = None) -> "DspVector":
+        """Erroneous-vector protocol (reference vector_types/mod.rs:226-229)
+        for Gen vectors; typed flavors raise instead."""
+        if isinstance(self, GenDspVector):
+            space = space or self._space
+            dtype = (self._data.dtype if space == self._space
+                     else (_complex_dtype_for(_real_dtype_of(self._data))
+                           if space == NumberSpace.COMPLEX
+                           else _real_dtype_of(self._data)))
+            return GenDspVector(jnp.zeros((0,), dtype=dtype), float("nan"),
+                                domain or self._domain, space)
+        raise DspError(reason)
+
+    # ------------------------------------------------------------------
+    # Vector trait (reference vec_impl_and_indexers.rs:100-147)
+    # ------------------------------------------------------------------
+    @property
+    def array(self) -> jnp.ndarray:
+        """The underlying device array (complex dtype for complex vectors)."""
+        return self._data
+
+    def delta(self) -> float:
+        """Sample spacing (x-axis step; becomes rbw after an FFT)."""
+        return self._delta
+
+    def with_delta(self, delta: float) -> "DspVector":
+        return self._make(self._data, delta=delta)
+
+    def domain(self) -> DataDomain:
+        return self._domain
+
+    def is_complex(self) -> bool:
+        return self._space == NumberSpace.COMPLEX
+
+    def points(self) -> int:
+        """Number of (real or complex) data points
+        (reference vec_impl_and_indexers.rs:275-277)."""
+        return int(self._data.shape[0])
+
+    def __len__(self) -> int:
+        """Length in float elements, like the reference's ``len()``
+        (2x points for complex vectors)."""
+        return self.points() * (2 if self.is_complex() else 1)
+
+    def is_erroneous(self) -> bool:
+        """Reference vector_types/mod.rs:209-216."""
+        return self.points() == 0 and math.isnan(self._delta)
+
+    def __getitem__(self, idx):
+        return np.asarray(self._data)[idx]
+
+    def interleaved(self) -> np.ndarray:
+        """Interleaved float view ([re0, im0, re1, im1, …] for complex) —
+        the reference's raw ``data(..)`` layout, for test parity."""
+        arr = np.asarray(self._data)
+        if self.is_complex():
+            out = np.empty(2 * arr.shape[0], dtype=arr.real.dtype)
+            out[0::2] = arr.real
+            out[1::2] = arr.imag
+            return out
+        return arr
+
+    def __repr__(self):
+        return (f"{type(self).__name__}(points={self.points()}, "
+                f"domain={self._domain.value}, "
+                f"complex={self.is_complex()}, delta={self._delta})")
+
+    # ------------------------------------------------------------------
+    # Flavor checks
+    # ------------------------------------------------------------------
+    def _check(self, *, complex_: Optional[bool] = None,
+               domain: Optional[DataDomain] = None,
+               reason: Optional[ErrorReason] = None):
+        """Returns None if ok, else an invalid vector / raises."""
+        if complex_ is not None and self.is_complex() != complex_:
+            r = (ErrorReason.INPUT_MUST_BE_COMPLEX if complex_
+                 else ErrorReason.INPUT_MUST_BE_REAL)
+            return self._invalid(reason or r)
+        if domain is not None and self._domain != domain:
+            r = (ErrorReason.INPUT_MUST_BE_IN_TIME_DOMAIN
+                 if domain == DataDomain.TIME
+                 else ErrorReason.INPUT_MUST_BE_IN_FREQUENCY_DOMAIN)
+            return self._invalid(reason or r)
+        return None
+
+    def _binary_check(self, other: "DspVector", same_size=True):
+        if (self.is_complex() != other.is_complex()
+                or self._domain != other._domain):
+            return self._invalid(ErrorReason.INPUT_META_DATA_MUST_AGREE)
+        if same_size and self.points() != other.points():
+            return self._invalid(ErrorReason.INPUT_MUST_HAVE_THE_SAME_SIZE)
+        return None
+
+    # ------------------------------------------------------------------
+    # Elementary ops (reference general/elementary.rs)
+    # ------------------------------------------------------------------
+    def add(self, other: "DspVector") -> "DspVector":
+        return self._binary_check(other) or self._make(self._data + other._data)
+
+    def sub(self, other: "DspVector") -> "DspVector":
+        return self._binary_check(other) or self._make(self._data - other._data)
+
+    def mul(self, other: "DspVector") -> "DspVector":
+        return self._binary_check(other) or self._make(self._data * other._data)
+
+    def div(self, other: "DspVector") -> "DspVector":
+        return self._binary_check(other) or self._make(self._data / other._data)
+
+    def _smaller_op(self, other: "DspVector", op) -> "DspVector":
+        bad = self._binary_check(other, same_size=False)
+        if bad is not None:
+            return bad
+        if other.points() == 0 or self.points() % other.points() != 0:
+            return self._invalid(ErrorReason.INVALID_ARGUMENT_LENGTH)
+        reps = self.points() // other.points()
+        return self._make(op(self._data, jnp.tile(other._data, reps)))
+
+    def add_smaller(self, other: "DspVector") -> "DspVector":
+        """Wrap-around add: the argument tiles cyclically
+        (reference elementary.rs:165-272)."""
+        return self._smaller_op(other, lambda a, b: a + b)
+
+    def sub_smaller(self, other: "DspVector") -> "DspVector":
+        return self._smaller_op(other, lambda a, b: a - b)
+
+    def mul_smaller(self, other: "DspVector") -> "DspVector":
+        return self._smaller_op(other, lambda a, b: a * b)
+
+    def div_smaller(self, other: "DspVector") -> "DspVector":
+        return self._smaller_op(other, lambda a, b: a / b)
+
+    def scale(self, factor) -> "DspVector":
+        if isinstance(factor, complex) and not self.is_complex():
+            return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
+        return self._make(self._data * factor)
+
+    def offset(self, offset) -> "DspVector":
+        if isinstance(offset, complex) and not self.is_complex():
+            return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
+        return self._make(self._data + offset)
+
+    # ------------------------------------------------------------------
+    # Trigonometry & powers (reference general/trigonometry_and_powers.rs)
+    # ------------------------------------------------------------------
+    def _map(self, fn) -> "DspVector":
+        return self._make(fn(self._data))
+
+    def sin(self): return self._map(jnp.sin)
+    def cos(self): return self._map(jnp.cos)
+    def tan(self): return self._map(jnp.tan)
+    def asin(self): return self._map(jnp.arcsin)
+    def acos(self): return self._map(jnp.arccos)
+    def atan(self): return self._map(jnp.arctan)
+    def sinh(self): return self._map(jnp.sinh)
+    def cosh(self): return self._map(jnp.cosh)
+    def tanh(self): return self._map(jnp.tanh)
+    def asinh(self): return self._map(jnp.arcsinh)
+    def acosh(self): return self._map(jnp.arccosh)
+    def atanh(self): return self._map(jnp.arctanh)
+    def sqrt(self): return self._map(jnp.sqrt)
+    def square(self): return self._map(lambda x: x * x)
+    def ln(self): return self._map(jnp.log)
+    def exp(self): return self._map(jnp.exp)
+
+    def root(self, degree):
+        return self._map(lambda x: x ** (1.0 / degree))
+
+    def powf(self, exponent):
+        return self._map(lambda x: x ** exponent)
+
+    def log(self, base):
+        return self._map(lambda x: jnp.log(x) / math.log(base))
+
+    def expf(self, base):
+        return self._map(lambda x: base ** x)
+
+    # Approximated ops (reference real/real_ops.rs:86-224).  XLA already
+    # emits fast vectorized transcendentals; the reduced-precision contract
+    # is honored by evaluating through f32 (the reference's SIMD polynomials
+    # are likewise f32-accuracy-bounded).
+    def _approx(self, fn) -> "DspVector":
+        bad = self._check(complex_=False)
+        if bad is not None:
+            return bad
+        f32 = self._data.astype(jnp.float32)
+        return self._make(fn(f32).astype(self._data.dtype))
+
+    def ln_approx(self): return self._approx(jnp.log)
+    def exp_approx(self): return self._approx(jnp.exp)
+    def sin_approx(self): return self._approx(jnp.sin)
+    def cos_approx(self): return self._approx(jnp.cos)
+
+    def log_approx(self, base):
+        return self._approx(lambda x: jnp.log(x) / np.float32(math.log(base)))
+
+    def expf_approx(self, base):
+        return self._approx(lambda x: np.float32(base) ** x)
+
+    def powf_approx(self, exponent):
+        return self._approx(lambda x: x ** np.float32(exponent))
+
+    # ------------------------------------------------------------------
+    # Real ops (reference real/real_ops.rs)
+    # ------------------------------------------------------------------
+    def abs(self) -> "DspVector":
+        bad = self._check(complex_=False)
+        if bad is not None:
+            return bad
+        return self._map(jnp.abs)
+
+    def wrap(self, divisor: float) -> "DspVector":
+        """Modulo / phase wrap (reference real_ops.rs:37-53)."""
+        bad = self._check(complex_=False)
+        if bad is not None:
+            return bad
+        return self._map(lambda x: jnp.fmod(x, divisor))
+
+    def unwrap(self, divisor: float) -> "DspVector":
+        """Inverse of wrap: corrects jumps larger than half the divisor
+        (reference real_ops.rs:55-67)."""
+        bad = self._check(complex_=False)
+        if bad is not None:
+            return bad
+        x = self._data
+        d = jnp.diff(x)
+        jumps = jnp.round(d / divisor)
+        corr = jnp.cumsum(-jumps * divisor)
+        return self._make(jnp.concatenate([x[:1], x[1:] + corr]))
+
+    # ------------------------------------------------------------------
+    # Complex ops (reference complex/complex_ops.rs, complex_to_real.rs,
+    # real_to_complex.rs)
+    # ------------------------------------------------------------------
+    def conj(self) -> "DspVector":
+        bad = self._check(complex_=True)
+        if bad is not None:
+            return bad
+        return self._map(jnp.conj)
+
+    def multiply_complex_exponential(self, a: float, b: float) -> "DspVector":
+        """x[i] *= exp(j*(a*delta*i + b*delta)) — frequency shift / chirp
+        (reference complex_ops.rs:81-105)."""
+        bad = self._check(complex_=True)
+        if bad is not None:
+            return bad
+        return self._make(conv_ops.multiply_complex_exponential(
+            self._data, a, b, self._delta))
+
+    def _to_real_flavor(self, fn) -> "DspVector":
+        bad = self._check(complex_=True)
+        if bad is not None:
+            return bad._retag(NumberSpace.REAL) \
+                if isinstance(bad, GenDspVector) else bad
+        return self._make(fn(self._data), space=NumberSpace.REAL)
+
+    def magnitude(self) -> "DspVector":
+        return self._to_real_flavor(jnp.abs)
+
+    def magnitude_squared(self) -> "DspVector":
+        return self._to_real_flavor(lambda x: jnp.real(x) ** 2 + jnp.imag(x) ** 2)
+
+    def to_real(self) -> "DspVector":
+        return self._to_real_flavor(jnp.real)
+
+    def to_imag(self) -> "DspVector":
+        return self._to_real_flavor(jnp.imag)
+
+    def phase(self) -> "DspVector":
+        return self._to_real_flavor(jnp.angle)
+
+    # Getter variants (reference complex_to_real.rs:237-331) — same results,
+    # non-consuming naming preserved for API parity.
+    def get_real(self): return self.to_real()
+    def get_imag(self): return self.to_imag()
+    def get_magnitude(self): return self.magnitude()
+    def get_magnitude_squared(self): return self.magnitude_squared()
+    def get_phase(self): return self.phase()
+
+    def get_real_imag(self) -> Tuple["DspVector", "DspVector"]:
+        return self.to_real(), self.to_imag()
+
+    def get_mag_phase(self) -> Tuple["DspVector", "DspVector"]:
+        return self.magnitude(), self.phase()
+
+    def set_real_imag(self, real: "DspVector", imag: "DspVector") -> "DspVector":
+        """Rebuild complex data from two real vectors
+        (reference complex_to_real.rs:346)."""
+        bad = self._check(complex_=True)
+        if bad is not None:
+            return bad
+        if real.points() != imag.points():
+            return self._invalid(ErrorReason.INPUT_MUST_HAVE_THE_SAME_SIZE)
+        cdtype = _complex_dtype_for(real._data.dtype)
+        return self._make(real._data.astype(cdtype)
+                          + 1j * imag._data.astype(cdtype))
+
+    def set_mag_phase(self, mag: "DspVector", phase: "DspVector") -> "DspVector":
+        bad = self._check(complex_=True)
+        if bad is not None:
+            return bad
+        if mag.points() != phase.points():
+            return self._invalid(ErrorReason.INPUT_MUST_HAVE_THE_SAME_SIZE)
+        cdtype = _complex_dtype_for(mag._data.dtype)
+        return self._make(mag._data.astype(cdtype)
+                          * jnp.exp(1j * phase._data.astype(cdtype)))
+
+    def to_complex(self) -> "DspVector":
+        """Real -> complex with zero imaginary part
+        (reference real_to_complex.rs:12-112)."""
+        bad = self._check(complex_=False)
+        if bad is not None:
+            return bad._retag(NumberSpace.COMPLEX) \
+                if isinstance(bad, GenDspVector) else bad
+        cdtype = _complex_dtype_for(self._data.dtype)
+        return self._make(self._data.astype(cdtype),
+                          space=NumberSpace.COMPLEX)
+
+    # ------------------------------------------------------------------
+    # Data reorganization (reference general/data_reorganization.rs)
+    # ------------------------------------------------------------------
+    def reverse(self) -> "DspVector":
+        return self._map(reorg_ops.reverse)
+
+    def swap_halves(self) -> "DspVector":
+        return self._map(reorg_ops.swap_halves)
+
+    def zero_pad(self, points: int, option: str = "end") -> "DspVector":
+        if points * (2 if self.is_complex() else 1) <= len(self):
+            return self._invalid(ErrorReason.INVALID_ARGUMENT_LENGTH)
+        return self._make(reorg_ops.zero_pad(self._data, points, option))
+
+    def zero_interleave(self, factor: int) -> "DspVector":
+        return self._make(reorg_ops.zero_interleave(self._data, factor))
+
+    def split_into(self, n: int) -> List["DspVector"]:
+        if n == 0 or self.points() % n != 0:
+            raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH)
+        parts = reorg_ops.split_into(self._data, n)
+        return [self._make(parts[i]) for i in range(n)]
+
+    def merge(self, sources: Sequence["DspVector"]) -> "DspVector":
+        if not sources:
+            raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH)
+        n0 = sources[0].points()
+        if any(s.points() != n0 for s in sources):
+            raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH)
+        stacked = jnp.stack([s._data for s in sources])
+        return self._make(reorg_ops.merge(stacked))
+
+    def resize(self, points: int) -> "DspVector":
+        """Shrink (truncate) or grow (zero-extend) to ``points``
+        (reference vec_impl_and_indexers.rs ResizeOps)."""
+        n = self.points()
+        if points <= n:
+            return self._make(self._data[:points])
+        return self._make(jnp.pad(self._data, (0, points - n)))
+
+    # ------------------------------------------------------------------
+    # Diff / cumsum (reference general/diff_sum.rs)
+    # ------------------------------------------------------------------
+    def diff(self) -> "DspVector":
+        return self._make(jnp.diff(self._data))
+
+    def diff_with_start(self) -> "DspVector":
+        return self._make(jnp.concatenate([self._data[:1],
+                                           jnp.diff(self._data)]))
+
+    def cum_sum(self) -> "DspVector":
+        return self._make(jnp.cumsum(self._data))
+
+    # ------------------------------------------------------------------
+    # Statistics & reductions (reference general/statistics.rs,
+    # precise_stats.rs, dot_products.rs)
+    # ------------------------------------------------------------------
+    def statistics(self) -> stats_ops.Statistics:
+        return stats_ops.statistics(self._data, self.is_complex())
+
+    def statistics_split(self, length: int):
+        if length > stats_ops.STATS_VEC_CAPACITY:
+            raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH)
+        return stats_ops.statistics_split(self._data, length,
+                                          self.is_complex())
+
+    def statistics_prec(self) -> stats_ops.Statistics:
+        return stats_ops.statistics_prec(self._data, self.is_complex())
+
+    def statistics_split_prec(self, length: int):
+        if length > stats_ops.STATS_VEC_CAPACITY:
+            raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH)
+        return stats_ops.statistics_split_prec(self._data, length,
+                                               self.is_complex())
+
+    def sum(self):
+        return stats_ops.sum_(self._data)
+
+    def sum_sq(self):
+        return stats_ops.sum_sq(self._data)
+
+    def sum_prec(self):
+        return stats_ops.sum_prec(self._data)
+
+    def sum_sq_prec(self):
+        return stats_ops.sum_sq_prec(self._data)
+
+    def dot_product(self, other: "DspVector"):
+        bad = self._binary_check(other)
+        if bad is not None:
+            raise DspError(ErrorReason.INPUT_META_DATA_MUST_AGREE)
+        return stats_ops.dot_product(self._data, other._data)
+
+    def dot_product_prec(self, other: "DspVector"):
+        bad = self._binary_check(other)
+        if bad is not None:
+            raise DspError(ErrorReason.INPUT_META_DATA_MUST_AGREE)
+        return stats_ops.dot_product_prec(self._data, other._data)
+
+    # ------------------------------------------------------------------
+    # Mapping (reference general/mapping.rs) — the user function receives
+    # the whole value array and an index array (vectorized contract).
+    # ------------------------------------------------------------------
+    def map_inplace(self, fn: Callable, argument=None) -> "DspVector":
+        idx = jnp.arange(self.points())
+        return self._make(fn(self._data, idx, argument))
+
+    def map_aggregate(self, map_fn: Callable, aggregate_fn: Callable,
+                      argument=None):
+        idx = jnp.arange(self.points())
+        mapped = map_fn(self._data, idx, argument)
+        return aggregate_fn(mapped)
+
+    # ------------------------------------------------------------------
+    # Rededicate (reference rededicate_and_relations.rs:16-91): re-tag the
+    # vector as another flavor, keeping the raw memory interpretation.
+    # ------------------------------------------------------------------
+    def _retag(self, space: NumberSpace,
+               domain: Optional[DataDomain] = None) -> "DspVector":
+        domain = domain or self._domain
+        data = self._data
+        if space == NumberSpace.COMPLEX and not self.is_complex():
+            # Pair up interleaved reals (odd tail dropped -> len 0 per the
+            # reference's odd-complex rule, to_from_vec_conversions.rs).
+            n = data.shape[0] - data.shape[0] % 2
+            pairs = data[:n].reshape(-1, 2)
+            cdtype = _complex_dtype_for(data.dtype)
+            data = pairs[:, 0].astype(cdtype) + 1j * pairs[:, 1].astype(cdtype)
+        elif space == NumberSpace.REAL and self.is_complex():
+            inter = jnp.stack([jnp.real(data), jnp.imag(data)], axis=-1)
+            data = inter.reshape(-1)
+        if isinstance(self, GenDspVector):
+            return GenDspVector(data, self._delta, domain, space)
+        return _FLAVORS[(space, domain)](data, self._delta)
+
+    def rededicate_to(self, space: NumberSpace,
+                      domain: DataDomain) -> "DspVector":
+        return self._retag(space, domain)
+
+    # ------------------------------------------------------------------
+    # Time <-> frequency (reference time_freq/)
+    # ------------------------------------------------------------------
+    def _fft_delta(self) -> float:
+        """delta -> rbw on any DFT (reference time_freq/mod.rs:54-55)."""
+        return self._delta * self.points()
+
+    def plain_fft(self) -> "DspVector":
+        """Unscaled, unshifted FFT (reference time_to_freq.rs:136-156);
+        real input is promoted to complex first."""
+        bad = self._check(domain=DataDomain.TIME)
+        if bad is not None:
+            return bad._retag(NumberSpace.COMPLEX, DataDomain.FREQUENCY) \
+                if isinstance(bad, GenDspVector) else bad
+        work = self if self.is_complex() else self.to_complex()
+        return self._make(fft_ops.plain_fft(work._data),
+                          delta=work._fft_delta(),
+                          domain=DataDomain.FREQUENCY,
+                          space=NumberSpace.COMPLEX)
+
+    def fft(self) -> "DspVector":
+        """plain_fft + fft_shift (reference time_to_freq.rs:158-165)."""
+        result = self.plain_fft()
+        if result.is_erroneous():
+            return result
+        return result.fft_shift()
+
+    def windowed_fft(self, window: WindowFunction) -> "DspVector":
+        return self.apply_window(window).fft()
+
+    def plain_sfft(self) -> "DspVector":
+        """Symmetric FFT of real odd-length input -> half spectrum
+        (reference time_to_freq.rs:198-228)."""
+        bad = (self._check(domain=DataDomain.TIME)
+               or self._check(complex_=False))
+        if bad is not None:
+            return bad._retag(NumberSpace.COMPLEX, DataDomain.FREQUENCY) \
+                if isinstance(bad, GenDspVector) else bad
+        if self.points() % 2 == 0:
+            return self._invalid(ErrorReason.INPUT_MUST_HAVE_AN_ODD_LENGTH,
+                                 domain=DataDomain.FREQUENCY,
+                                 space=NumberSpace.COMPLEX)
+        points = self.points()
+        full = self.plain_fft()
+        return full._make(fft_ops.unmirror(full._data, points),
+                          delta=full._delta, domain=DataDomain.FREQUENCY,
+                          space=NumberSpace.COMPLEX)
+
+    def sfft(self) -> "DspVector":
+        """Reference time_to_freq.rs:230-260 (fft + unmirror)."""
+        bad = (self._check(domain=DataDomain.TIME)
+               or self._check(complex_=False))
+        if bad is not None:
+            return bad._retag(NumberSpace.COMPLEX, DataDomain.FREQUENCY) \
+                if isinstance(bad, GenDspVector) else bad
+        if self.points() % 2 == 0:
+            return self._invalid(ErrorReason.INPUT_MUST_HAVE_AN_ODD_LENGTH,
+                                 domain=DataDomain.FREQUENCY,
+                                 space=NumberSpace.COMPLEX)
+        points = self.points()
+        full = self.fft()
+        return full._make(fft_ops.unmirror(full._data, points),
+                          delta=full._delta, domain=DataDomain.FREQUENCY,
+                          space=NumberSpace.COMPLEX)
+
+    def windowed_sfft(self, window: WindowFunction) -> "DspVector":
+        bad = (self._check(domain=DataDomain.TIME)
+               or self._check(complex_=False))
+        if bad is not None:
+            return bad._retag(NumberSpace.COMPLEX, DataDomain.FREQUENCY) \
+                if isinstance(bad, GenDspVector) else bad
+        if self.points() % 2 == 0:
+            return self._invalid(ErrorReason.INPUT_MUST_HAVE_AN_ODD_LENGTH,
+                                 domain=DataDomain.FREQUENCY,
+                                 space=NumberSpace.COMPLEX)
+        points = self.points()
+        full = self.to_complex().apply_window(window).fft()
+        return full._make(fft_ops.unmirror(full._data, points),
+                          delta=full._delta, domain=DataDomain.FREQUENCY,
+                          space=NumberSpace.COMPLEX)
+
+    def plain_ifft(self) -> "DspVector":
+        """Unscaled inverse FFT (reference freq_to_time.rs:138-158)."""
+        bad = self._check(domain=DataDomain.FREQUENCY)
+        if bad is not None:
+            return bad._retag(NumberSpace.COMPLEX, DataDomain.TIME) \
+                if isinstance(bad, GenDspVector) else bad
+        work = self if self.is_complex() else self.to_complex()
+        return self._make(fft_ops.plain_ifft(work._data),
+                          delta=work._fft_delta(),
+                          domain=DataDomain.TIME, space=NumberSpace.COMPLEX)
+
+    def ifft(self) -> "DspVector":
+        """scale(1/N) + ifft_shift + plain_ifft
+        (reference freq_to_time.rs:160-168)."""
+        bad = self._check(domain=DataDomain.FREQUENCY)
+        if bad is not None:
+            return bad._retag(NumberSpace.COMPLEX, DataDomain.TIME) \
+                if isinstance(bad, GenDspVector) else bad
+        n = self.points()
+        return self.scale(1.0 / n).ifft_shift().plain_ifft()
+
+    def windowed_ifft(self, window: WindowFunction) -> "DspVector":
+        return self.ifft().unapply_window(window)
+
+    def plain_sifft(self) -> "DspVector":
+        """Symmetric inverse FFT: half spectrum -> real time signal
+        (reference freq_to_time.rs:190-221)."""
+        bad = (self._check(domain=DataDomain.FREQUENCY)
+               or self._check(complex_=True))
+        if bad is not None:
+            return bad._retag(NumberSpace.REAL, DataDomain.TIME) \
+                if isinstance(bad, GenDspVector) else bad
+        if self.points() > 0 and abs(float(jnp.imag(self._data[0]))) > 1e-10:
+            return self._invalid(ErrorReason.INPUT_MUST_BE_CONJ_SYMMETRIC,
+                                 domain=DataDomain.TIME,
+                                 space=NumberSpace.REAL)
+        mirrored = fft_ops.mirror(self._data)
+        time = fft_ops.plain_ifft(mirrored)
+        return self._make(jnp.real(time), domain=DataDomain.TIME,
+                          space=NumberSpace.REAL,
+                          delta=self._delta * mirrored.shape[-1])
+
+    def sifft(self) -> "DspVector":
+        """Reference freq_to_time.rs:223-234: scale by 1/half_points,
+        ifft_shift the half spectrum, then plain_sifft."""
+        bad = (self._check(domain=DataDomain.FREQUENCY)
+               or self._check(complex_=True))
+        if bad is not None:
+            return bad._retag(NumberSpace.REAL, DataDomain.TIME) \
+                if isinstance(bad, GenDspVector) else bad
+        n = self.points()
+        return self.scale(1.0 / n).ifft_shift().plain_sifft()
+
+    def windowed_sifft(self, window: WindowFunction) -> "DspVector":
+        result = self.sifft()
+        if result.is_erroneous():
+            return result
+        return result.unapply_window(window)
+
+    def mirror(self) -> "DspVector":
+        """Half spectrum -> full spectrum (reference freq.rs:52-83)."""
+        bad = (self._check(domain=DataDomain.FREQUENCY)
+               or self._check(complex_=True))
+        if bad is not None:
+            return bad
+        return self._make(fft_ops.mirror(self._data))
+
+    def fft_shift(self) -> "DspVector":
+        return self._make(fft_ops.fft_shift(self._data))
+
+    def ifft_shift(self) -> "DspVector":
+        return self._make(fft_ops.ifft_shift(self._data))
+
+    def apply_window(self, window: WindowFunction) -> "DspVector":
+        w = window.sample(self.points(), dtype=_real_dtype_of(self._data))
+        return self._make(self._data * w.astype(self._data.dtype))
+
+    def unapply_window(self, window: WindowFunction) -> "DspVector":
+        w = window.sample(self.points(), dtype=_real_dtype_of(self._data))
+        return self._make(self._data / w.astype(self._data.dtype))
+
+    # ------------------------------------------------------------------
+    # Convolution / correlation (reference time_freq/convolution.rs,
+    # correlation.rs)
+    # ------------------------------------------------------------------
+    def convolve_signal(self, impulse_response: "DspVector",
+                        cfg: Optional[_config.DspConfig] = None) -> "DspVector":
+        """Circular centered convolution (see ops.conv_ops)."""
+        bad = (self._binary_check(impulse_response, same_size=False)
+               or self._check(domain=DataDomain.TIME))
+        if bad is not None:
+            return bad
+        if self.points() < impulse_response.points():
+            return self._invalid(ErrorReason.INVALID_ARGUMENT_LENGTH)
+        out = conv_ops.convolve_signal(self._data, impulse_response._data,
+                                       self.is_complex(), cfg)
+        return self._make(out)
+
+    def convolve(self, function, ratio: float, length: int) -> "DspVector":
+        """Convolve against an analytic impulse response
+        (reference convolution.rs:126-254)."""
+        bad = self._check(domain=DataDomain.TIME)
+        if bad is not None:
+            return bad
+        from .conv_types import ComplexImpulseResponse
+        if isinstance(function, ComplexImpulseResponse) and not self.is_complex():
+            return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
+        out = conv_ops.convolve_function(self._data, function, ratio, length,
+                                         self.is_complex())
+        if jnp.iscomplexobj(out) and not self.is_complex():
+            out = jnp.real(out).astype(self._data.dtype)
+        return self._make(out)
+
+    def multiply_frequency_response(self, frequency_response,
+                                    ratio: float) -> "DspVector":
+        """Reference convolution.rs:545-610.  Complex responses require a
+        complex vector."""
+        bad = self._check(domain=DataDomain.FREQUENCY)
+        if bad is not None:
+            return bad
+        from .conv_types import ComplexFrequencyResponse
+        if (isinstance(frequency_response, ComplexFrequencyResponse)
+                and not self.is_complex()):
+            return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
+        calc = frequency_response.calc_freq
+        out = conv_ops.multiply_function(
+            self._data, calc, ratio, is_fft_shifted=False,
+            is_symmetric=frequency_response.is_symmetric)
+        return self._make(out)
+
+    def prepare_argument(self, padded: bool = False) -> "DspVector":
+        """FFT + conj for correlation (reference correlation.rs:96-118)."""
+        bad = (self._check(domain=DataDomain.TIME)
+               or self._check(complex_=True))
+        if bad is not None:
+            return bad
+        out = conv_ops.prepare_argument(self._data, padded)
+        return self._make(out, delta=self._fft_delta(),
+                          domain=DataDomain.FREQUENCY)
+
+    def prepare_argument_padded(self) -> "DspVector":
+        return self.prepare_argument(padded=True)
+
+    def correlate(self, prepared: "DspVector") -> "DspVector":
+        """Cross-correlation (reference correlation.rs:131-163); matches
+        Octave/MATLAB xcorr when the argument was prepared padded."""
+        bad = self._check(domain=DataDomain.TIME) or self._check(complex_=True)
+        if bad is not None:
+            return bad
+        if (prepared._domain != DataDomain.FREQUENCY
+                or not prepared.is_complex()):
+            return self._invalid(ErrorReason.INPUT_MUST_BE_IN_TIME_DOMAIN)
+        out = conv_ops.correlate(self._data, prepared._data)
+        return self._make(out)
+
+    # ------------------------------------------------------------------
+    # Interpolation (reference time_freq/interpolation.rs,
+    # real_interpolation.rs)
+    # ------------------------------------------------------------------
+    def interpolatef(self, function, interpolation_factor: float,
+                     delay: float, conv_len: int) -> "DspVector":
+        out = interp_ops.interpolatef(self._data, function,
+                                      interpolation_factor, delay, conv_len,
+                                      self._delta)
+        return self._make(out)
+
+    def interpolatei(self, function, interpolation_factor: int) -> "DspVector":
+        if not function.is_symmetric and not self.is_complex():
+            return self._invalid(
+                ErrorReason.ARGUMENT_FUNCTION_MUST_BE_SYMMETRIC)
+        out = interp_ops.interpolatei(self._data, function,
+                                      interpolation_factor,
+                                      self.is_complex())
+        return self._make(out)
+
+    def interpolate(self, function, target_points: int,
+                    delay: float) -> "DspVector":
+        if (function is not None and not function.is_symmetric
+                and not self.is_complex()):
+            return self._invalid(
+                ErrorReason.ARGUMENT_FUNCTION_MUST_BE_SYMMETRIC)
+        factor = target_points / self.points()
+        out = interp_ops.interpolate(self._data, function, target_points,
+                                     delay, self._delta, self.is_complex())
+        return self._make(out, delta=self._delta / factor)
+
+    def interpft(self, target_points: int) -> "DspVector":
+        return self.interpolate(None, target_points, 0.0)
+
+    def decimatei(self, decimation_factor: int, delay: int) -> "DspVector":
+        return self._make(interp_ops.decimatei(self._data, decimation_factor,
+                                               delay))
+
+    def interpolate_lin(self, interpolation_factor: float,
+                        delay: float) -> "DspVector":
+        bad = self._check(complex_=False)
+        if bad is not None:
+            return bad
+        return self._make(interp_ops.interpolate_lin(
+            self._data, interpolation_factor, delay))
+
+    def interpolate_hermite(self, interpolation_factor: float,
+                            delay: float) -> "DspVector":
+        bad = self._check(complex_=False)
+        if bad is not None:
+            return bad
+        return self._make(interp_ops.interpolate_hermite(
+            self._data, interpolation_factor, delay))
+
+
+class RealTimeVector(DspVector):
+    _SPACE = NumberSpace.REAL
+    _DOMAIN = DataDomain.TIME
+
+
+class RealFreqVector(DspVector):
+    _SPACE = NumberSpace.REAL
+    _DOMAIN = DataDomain.FREQUENCY
+
+
+class ComplexTimeVector(DspVector):
+    _SPACE = NumberSpace.COMPLEX
+    _DOMAIN = DataDomain.TIME
+
+
+class ComplexFreqVector(DspVector):
+    _SPACE = NumberSpace.COMPLEX
+    _DOMAIN = DataDomain.FREQUENCY
+
+
+class GenDspVector(DspVector):
+    """Runtime-typed flavor (reference GenDspVec): invalid operations mark
+    the vector erroneous instead of raising."""
+
+    def __init__(self, data, delta: float = 1.0,
+                 domain: DataDomain = DataDomain.TIME,
+                 space: NumberSpace = NumberSpace.REAL):
+        super().__init__(data, delta, domain, space)
+
+
+_FLAVORS = {
+    (NumberSpace.REAL, DataDomain.TIME): RealTimeVector,
+    (NumberSpace.REAL, DataDomain.FREQUENCY): RealFreqVector,
+    (NumberSpace.COMPLEX, DataDomain.TIME): ComplexTimeVector,
+    (NumberSpace.COMPLEX, DataDomain.FREQUENCY): ComplexFreqVector,
+}
+
+
+# ----------------------------------------------------------------------
+# Constructors (reference to_from_vec_conversions.rs:16-127)
+# ----------------------------------------------------------------------
+def _from_interleaved_complex(data) -> jnp.ndarray:
+    data = jnp.asarray(data)
+    if jnp.iscomplexobj(data):
+        return data
+    # Interleaved floats -> complex points; odd length -> empty (the
+    # reference's odd-length-complex rule).
+    n = data.shape[0]
+    if n % 2 != 0:
+        return jnp.zeros((0,), dtype=_complex_dtype_for(data.dtype))
+    pairs = data.reshape(-1, 2)
+    cdtype = _complex_dtype_for(data.dtype)
+    return pairs[:, 0].astype(cdtype) + 1j * pairs[:, 1].astype(cdtype)
+
+
+def to_real_time_vec(data, delta: float = 1.0) -> RealTimeVector:
+    return RealTimeVector(jnp.asarray(data), delta)
+
+
+def to_real_freq_vec(data, delta: float = 1.0) -> RealFreqVector:
+    return RealFreqVector(jnp.asarray(data), delta)
+
+
+def to_complex_time_vec(data, delta: float = 1.0) -> ComplexTimeVector:
+    return ComplexTimeVector(_from_interleaved_complex(data), delta)
+
+
+def to_complex_freq_vec(data, delta: float = 1.0) -> ComplexFreqVector:
+    return ComplexFreqVector(_from_interleaved_complex(data), delta)
+
+
+def to_gen_dsp_vec(data, is_complex: bool,
+                   domain: DataDomain = DataDomain.TIME,
+                   delta: float = 1.0) -> GenDspVector:
+    if is_complex:
+        return GenDspVector(_from_interleaved_complex(data), delta, domain,
+                            NumberSpace.COMPLEX)
+    return GenDspVector(jnp.asarray(data), delta, domain, NumberSpace.REAL)
+
+
+def interleave_to_complex_time_vec(real, imag,
+                                   delta: float = 1.0) -> ComplexTimeVector:
+    real = jnp.asarray(real)
+    imag = jnp.asarray(imag)
+    if real.shape != imag.shape:
+        raise DspError(ErrorReason.INPUT_MUST_HAVE_THE_SAME_SIZE)
+    cdtype = _complex_dtype_for(real.dtype)
+    return ComplexTimeVector(real.astype(cdtype) + 1j * imag.astype(cdtype),
+                             delta)
+
+
+def interleave_to_complex_freq_vec(real, imag,
+                                   delta: float = 1.0) -> ComplexFreqVector:
+    v = interleave_to_complex_time_vec(real, imag, delta)
+    return ComplexFreqVector(v.array, delta)
+
+
+# ----------------------------------------------------------------------
+# Pytree registration: data is the traced leaf; metadata is static.
+# ----------------------------------------------------------------------
+def _flatten(v: DspVector):
+    return (v._data,), (type(v), v._delta, v._domain, v._space)
+
+
+def _unflatten(aux, children):
+    klass, delta, domain, space = aux
+    obj = object.__new__(klass)
+    obj._data = children[0]
+    obj._delta = delta
+    obj._domain = domain
+    obj._space = space
+    return obj
+
+
+for _klass in (RealTimeVector, RealFreqVector, ComplexTimeVector,
+               ComplexFreqVector, GenDspVector):
+    jax.tree_util.register_pytree_node(_klass, _flatten, _unflatten)

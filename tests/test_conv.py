@@ -1,0 +1,178 @@
+"""Convolution goldens and identities, ported from reference
+time_freq/convolution.rs:612-909."""
+import numpy as np
+import pytest
+
+import basic_dsp_tpu as bd
+from basic_dsp_tpu.ops import conv_ops
+from tools import assert_vector_eq, create_complex_data
+
+
+def test_shift_left_by_1_as_conv():
+    """convolution.rs:819-842 — pins the centered-kernel alignment."""
+    a = bd.to_real_time_vec(np.arange(10.0)).to_complex()
+    b = bd.to_real_time_vec(
+        [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]).to_complex()
+    out = a.convolve_signal(b).magnitude()
+    assert_vector_eq(out.array, np.arange(10.0), tol=1e-4)
+
+
+def test_shift_left_by_1_as_conv_shorter():
+    """convolution.rs:832-842."""
+    a = bd.to_real_time_vec(np.arange(10.0)).to_complex()
+    b = bd.to_real_time_vec([0.0, 0.0, 1.0]).to_complex()
+    out = a.convolve_signal(b).magnitude()
+    assert_vector_eq(out.array,
+                     [9.0, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+                     tol=1e-4)
+
+
+def test_convolve_complex_vectors():
+    """convolution.rs:738-775 — sinc taps vs golden magnitudes."""
+    LEN = 11
+    time = np.zeros(LEN, dtype=complex)
+    time[LEN // 2] = 1.0
+    sinc = bd.SincFunction()
+    v = np.arange(LEN) - 5.0
+    real = np.asarray(sinc.calc(v * 0.5))
+    arg = bd.interleave_to_complex_time_vec(real, np.zeros(LEN))
+    a = bd.to_complex_time_vec(time)
+    out = a.convolve_signal(arg).magnitude()
+    expected = [0.12732396, 0.000000027827534, 0.21220659, 0.000000027827534,
+                0.63661975, 1.0, 0.63661975, 0.000000027827534, 0.21220659,
+                0.000000027827534, 0.12732396]
+    assert_vector_eq(out.array, expected, tol=1e-4)
+
+
+def test_convolve_real_time_and_time():
+    """convolution.rs:651-669 — analytic RC kernel on a real dirac."""
+    data = np.zeros(10)
+    data[5] = 1.0
+    v = bd.to_real_time_vec(data)
+    rc = bd.RaisedCosineFunction(0.35)
+    out = v.convolve(rc, 0.2, 5)
+    expected = [0.0, 0.2171850639713355, 0.4840621929215732,
+                0.7430526238101408, 0.9312114164253432, 1.0,
+                0.9312114164253432, 0.7430526238101408, 0.4840621929215732,
+                0.2171850639713355]
+    assert_vector_eq(out.array, expected, tol=1e-4)
+
+
+def test_convolve_complex_time_and_time():
+    """convolution.rs:671-702 — sinc on a complex dirac, ratio 0.5."""
+    LEN = 11
+    time = np.zeros(LEN, dtype=complex)
+    time[LEN // 2] = 1.0  # data_mut(len) sets float element 11 == re of point 5
+    v = bd.to_complex_time_vec(time)
+    out = v.convolve(bd.SincFunction(), 0.5, LEN // 2).magnitude()
+    expected = [0.12732396, 0.000000027827534, 0.21220659, 0.000000027827534,
+                0.63661975, 1.0, 0.63661975, 0.000000027827534, 0.21220659,
+                0.000000027827534, 0.12732396]
+    assert_vector_eq(out.array, expected, tol=1e-4)
+
+
+def test_invalid_length_parameter_no_panic():
+    """convolution.rs:722-735 — huge conv_len is clamped, not an error."""
+    LEN = 20
+    v = bd.to_complex_time_vec(np.zeros(LEN, dtype=complex))
+    out = v.convolve(bd.SincFunction(), 0.5, 10 * LEN)
+    assert out.points() == LEN
+
+
+def test_vector_conv_vs_freq_multiplication():
+    """convolution.rs:802-816: conv == reverse(swap_halves(ifft(fft*fft)))."""
+    a = bd.to_complex_time_vec(np.arange(10.0).astype(complex))
+    b = bd.to_complex_time_vec(np.arange(15.0, 5.0, -1.0).astype(complex))
+    conv = a.convolve_signal(b)
+    mul = a.fft().mul(b.fft()).ifft().reverse().swap_halves()
+    assert_vector_eq(mul.array, conv.array, tol=1e-4)
+
+
+@pytest.mark.parametrize("n", [9, 10])
+def test_conv_vs_freq_multiplication_real_data(n):
+    """convolution.rs:844-882 (even and odd)."""
+    a = bd.to_real_time_vec(np.arange(float(n))).to_complex()
+    b = bd.to_real_time_vec(np.arange(15.0, 15.0 - n, -1.0)).to_complex()
+    conv = a.convolve_signal(b).magnitude()
+    mul = (a.fft().mul(b.fft()).ifft().magnitude()
+           .reverse().swap_halves())
+    assert_vector_eq(mul.array, conv.array, tol=1e-4)
+
+
+def test_overlap_save_matches_direct():
+    """convolution.rs:885-898 plus larger sizes: the blocked overlap-save
+    pipeline must equal the whole-signal FFT path exactly."""
+    for n, m, fft_len in [(100, 6, 32), (1000, 17, 64), (4096, 128, 1024),
+                          (5000, 31, 0)]:
+        x = create_complex_data(n, n)
+        h = create_complex_data(m, m)
+        direct = conv_ops.convolve_signal_fft(x, h, True)
+        blocked = conv_ops.overlap_save(
+            x, h, True, conv_ops.pick_fft_len(m, fft_len))
+        assert_vector_eq(blocked, direct, tol=1e-8,
+                         msg=f"n={n} m={m} fft_len={fft_len}")
+
+
+def test_overlap_save_dispatch_threshold():
+    """Long signals route through overlap_save and still agree."""
+    n, m = 50000, 63
+    x = create_complex_data(1, n)
+    h = create_complex_data(2, m)
+    a = bd.to_complex_time_vec(x)
+    b = bd.to_complex_time_vec(h)
+    out = a.convolve_signal(b)
+    direct = conv_ops.convolve_signal_fft(x, h, True)
+    assert_vector_eq(out.array, direct, tol=1e-7)
+
+
+def test_kernel_longer_than_signal_errors():
+    a = bd.to_complex_time_vec(create_complex_data(1, 5))
+    b = bd.to_complex_time_vec(create_complex_data(2, 8))
+    with pytest.raises(bd.DspError):
+        a.convolve_signal(b)
+
+
+def test_multiply_frequency_response_golden():
+    """convolution.rs:632-648."""
+    v = bd.to_complex_freq_vec(np.array([1.0] * 10))  # 5 complex points
+    rc = bd.RaisedCosineFunction(1.0)
+    out = v.multiply_frequency_response(rc, 2.0)
+    expected = [0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 1.0, 1.0, 0.0, 0.0]
+    assert_vector_eq(out.interleaved(), expected, tol=1e-4)
+
+
+def test_multiply_frequency_response_even_golden():
+    """convolution.rs:641-648."""
+    v = bd.to_complex_freq_vec(np.array([1.0] * 12))  # 6 complex points
+    rc = bd.RaisedCosineFunction(1.0)
+    out = v.multiply_frequency_response(rc, 2.0)
+    expected = [0.0, 0.0, 0.5, 0.5, 1.5, 1.5, 2.0, 2.0, 1.5, 1.5, 0.5, 0.5]
+    assert_vector_eq(out.interleaved(), expected, tol=1e-4)
+
+
+def test_compare_conv_freq_mul():
+    """convolution.rs:704-720: time-domain sinc conv vs freq-domain
+    multiply (cross-algorithm tolerance 0.2)."""
+    LEN = 11
+    time = np.zeros(LEN, dtype=complex)
+    time[LEN // 2] = 1.0
+    t = bd.to_complex_time_vec(time)
+    sinc = bd.SincFunction()
+    freq = t.fft().multiply_frequency_response(sinc, 1.0 / 0.5)
+    conv = t.convolve(sinc, 0.5, LEN).magnitude()
+    ifft = freq.ifft().magnitude()
+    assert_vector_eq(ifft.array, conv.array, tol=0.2)
+
+
+def test_real_convolve_signal():
+    """Real (non-complex) vectors go through the same path with real
+    output."""
+    x = np.arange(10.0)
+    h = np.array([0.0, 0.0, 1.0])
+    a = bd.to_real_time_vec(x)
+    b = bd.to_real_time_vec(h)
+    out = a.convolve_signal(b)
+    assert not out.is_complex()
+    assert_vector_eq(out.array,
+                     [9.0, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+                     tol=1e-6)

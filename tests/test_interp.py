@@ -1,0 +1,213 @@
+"""Interpolation goldens ported from reference
+time_freq/interpolation.rs:636-1008 and real_interpolation.rs:181-238."""
+import numpy as np
+import pytest
+
+import basic_dsp_tpu as bd
+from tools import assert_vector_eq, multitone
+
+
+def dirac_complex(n):
+    t = np.zeros(n, dtype=complex)
+    t[n // 2] = 1.0
+    return bd.to_complex_time_vec(t)
+
+
+def test_interpolatei_sinc():
+    """interpolation.rs:653-678."""
+    time = dirac_complex(6)
+    out = time.interpolatei(bd.SincFunction(), 2).magnitude()
+    expected = [0.16666667, 0.044658206, 0.16666667, 0.16666667, 0.16666667,
+                0.6220085, 1.1666667, 0.6220085, 0.16666667, 0.16666667,
+                0.16666667, 0.044658206]
+    assert_vector_eq(out.array, expected, tol=1e-4)
+
+
+def test_interpolatei_rc():
+    """interpolation.rs:726-750."""
+    time = dirac_complex(6)
+    out = time.interpolatei(bd.RaisedCosineFunction(0.4), 2).magnitude()
+    expected = [0.0, 0.038979173, 0.0, 0.15530863, 0.0, 0.6163295, 1.0,
+                0.61632943, 0.0, 0.15530863, 0.0, 0.038979173]
+    assert_vector_eq(out.array, expected, tol=1e-4)
+
+
+def test_interpolate_sinc_even():
+    """interpolation.rs:681-700."""
+    time = dirac_complex(6)
+    out = time.interpolate(bd.SincFunction(), 12, 0.0).to_real()
+    expected = [0.00000, 0.04466, 0.00000, -0.16667, 0.00000, 0.62201,
+                1.00000, 0.62201, 0.00000, -0.16667, 0.00000, 0.04466]
+    assert_vector_eq(out.array, expected, tol=1e-4)
+
+
+def test_interpolate_sinc_odd():
+    """interpolation.rs:703-723."""
+    time = np.zeros(7)
+    time[3] = 1.0
+    v = bd.to_real_time_vec(time).to_complex()
+    out = v.interpolate(bd.SincFunction(), 14, 0.0).to_real()
+    expected = [0.00000, 0.15856, 0.00000, -0.22913, 0.00000, 0.64199,
+                1.00000, 0.64199, 0.00000, -0.22913, -0.00000, 0.15856,
+                0.00000, -0.14286]
+    assert_vector_eq(out.array, expected, tol=1e-4)
+
+
+def test_interpolatef_by_integer_sinc_even():
+    """interpolation.rs:753-773 (cross-algorithm tolerance 0.1)."""
+    time = np.zeros(6)
+    time[3] = 1.0
+    v = bd.to_real_time_vec(time).to_complex()
+    out = v.interpolatef(bd.SincFunction(), 2.0, 0.0, 6).to_real()
+    expected = [0.00000, 0.04466, 0.00000, -0.16667, 0.00000, 0.62201,
+                1.00000, 0.62201, 0.00000, -0.16667, 0.00000, 0.04466]
+    assert_vector_eq(out.array, expected, tol=0.1)
+
+
+def test_interpolatef_by_integer_sinc_odd():
+    """interpolation.rs:776-796."""
+    time = np.zeros(7)
+    time[3] = 1.0
+    v = bd.to_real_time_vec(time).to_complex()
+    out = v.interpolatef(bd.SincFunction(), 2.0, 0.0, 7).to_real()
+    expected = [0.00000, 0.15856, 0.00000, -0.22913, 0.00000, 0.64199,
+                1.00000, 0.64199, 0.00000, -0.22913, -0.00000, 0.15856,
+                0.00000, -0.14286]
+    assert_vector_eq(out.array, expected, tol=0.1)
+
+
+def test_interpolatef_fractional():
+    """interpolation.rs:799-831 — vs Octave interpft golden."""
+    time = np.zeros(6)
+    time[3] = 1.0
+    v = bd.to_real_time_vec(time).to_complex()
+    out = v.interpolatef(bd.SincFunction(), 13.0 / 6.0, 0.0, 6).to_real()
+    expected = [-2.7756e-17, 4.0780e-02, 2.0934e-02, -1.3806e-01,
+                -1.1221e-01, 3.6167e-01, 9.1022e-01, 9.1022e-01, 3.6167e-01,
+                -1.1221e-01, -1.3806e-01, 2.0934e-02, 4.0780e-02]
+    assert_vector_eq(out.array, expected, tol=0.1)
+
+
+def test_interpolate_fractional():
+    """interpolation.rs:834-865."""
+    time = np.zeros(6)
+    time[3] = 1.0
+    v = bd.to_real_time_vec(time).to_complex()
+    out = v.interpolate(bd.SincFunction(), 13, 0.0).to_real()
+    expected = [-2.7756e-17, 4.0780e-02, 2.0934e-02, -1.3806e-01,
+                -1.1221e-01, 3.6167e-01, 9.1022e-01, 9.1022e-01, 3.6167e-01,
+                -1.1221e-01, -1.3806e-01, 2.0934e-02, 4.0780e-02]
+    assert_vector_eq(out.array, expected, tol=0.1)
+
+
+def test_interpolate_fractional_real_data():
+    """interpolation.rs:868-897 — same through the real-vector path."""
+    time = np.zeros(6)
+    time[3] = 1.0
+    v = bd.to_real_time_vec(time)
+    out = v.interpolate(bd.SincFunction(), 13, 0.0)
+    assert not out.is_complex()
+    expected = [-2.7756e-17, 4.0780e-02, 2.0934e-02, -1.3806e-01,
+                -1.1221e-01, 3.6167e-01, 9.1022e-01, 9.1022e-01, 3.6167e-01,
+                -1.1221e-01, -1.3806e-01, 2.0934e-02, 4.0780e-02]
+    assert_vector_eq(out.array, expected, tol=0.1)
+
+
+def test_interpolatef_delayed_sinc():
+    """interpolation.rs:900-919."""
+    time = dirac_complex(6)
+    out = time.interpolatef(bd.SincFunction(), 2.0, 1.0, 6).magnitude()
+    expected = [0.00000, 0.00000, 0.00000, 0.04466, 0.00000, 0.16667,
+                0.00000, 0.62201, 1.00000, 0.62201, 0.00000, 0.16667]
+    assert_vector_eq(out.array, expected, tol=0.1)
+
+
+def test_interpolate_delayed_sinc():
+    """interpolation.rs:922-948."""
+    time = np.array([0.019827, 0.132513, 0.347660, 0.347660, 0.132513,
+                     0.019827])
+    v = bd.to_real_time_vec(time).to_complex()
+    out = v.interpolate(bd.SincFunction(), 12, 1.0).magnitude()
+    expected = [0.132513, 0.244227, 0.347660, 0.390094, 0.347660, 0.244227,
+                0.132513, 0.054953, 0.019827, 0.011546, 0.019827, 0.054953]
+    assert_vector_eq(out.array, expected, tol=0.1)
+
+
+def test_interpolate_identity():
+    """interpolation.rs:951-960."""
+    time = np.array([0.019827, 0.132513, 0.347660, 0.347660, 0.132513,
+                     0.019827])
+    v = bd.to_real_time_vec(time)
+    out = v.interpft(6)
+    assert_vector_eq(out.array, time, tol=0.1)
+
+
+def test_decimatei():
+    """interpolation.rs:963-969."""
+    v = bd.to_complex_time_vec(np.arange(12.0))
+    out = v.decimatei(2, 1)
+    assert_vector_eq(out.interleaved(), [2.0, 3.0, 6.0, 7.0, 10.0, 11.0],
+                     tol=0)
+
+
+def test_decimate_with_interpolate():
+    """interpolation.rs:972-1007 — downsample via interpolate, vs Octave
+    interpft golden."""
+    time = np.array([-2.6551e-03, 1.5106e-04, 1.6104e-02, 5.9695e-02,
+                     1.2705e-01, 1.9096e-01, 2.1739e-01, 1.9096e-01,
+                     1.2705e-01, 5.9695e-02, 1.6104e-02, 1.5106e-04,
+                     -2.6551e-03])
+    v = bd.to_real_time_vec(time).to_complex()
+    out = v.interpolate(bd.SincFunction(), 6, 0.0).magnitude()
+    expected = [2.0600e-03, 2.1088e-02, 1.5072e-01, 2.1024e-01, 8.0868e-02,
+                7.5036e-04]
+    assert_vector_eq(out.array, expected, tol=1e-4)
+
+
+def test_interpolate_delta_update():
+    v = bd.to_real_time_vec(multitone(1, 100), delta=1.0)
+    out = v.interpft(200)
+    assert out.delta() == pytest.approx(0.5)
+
+
+def test_interpolate_lin():
+    """Linear interpolation of a straight line is exact."""
+    data = np.arange(10.0)
+    v = bd.to_real_time_vec(data)
+    out = v.interpolate_lin(2.0, 0.0)
+    assert out.points() == 19
+    assert_vector_eq(out.array, np.arange(19.0) / 2.0, tol=1e-12)
+
+
+def test_interpolate_hermite():
+    """Hermite interpolation reproduces input samples exactly and is close
+    to the true signal between samples (reference tolerance: 6e-2 over a
+    sine, real_interpolation.rs:181-238)."""
+    n = 64
+    t = np.arange(n, dtype=float)
+    data = np.sin(2 * np.pi * 0.04 * t)
+    v = bd.to_real_time_vec(data)
+    out = np.asarray(v.interpolate_hermite(2.0, 0.0).array)
+    assert_vector_eq(out[::2], data, tol=1e-9)
+    fine = np.sin(2 * np.pi * 0.04 * np.arange(out.shape[0]) / 2.0)
+    assert_vector_eq(out, fine, tol=6e-2)
+
+
+def test_interpolatef_vs_interpolatei_multitone():
+    """tests/interpolation_test.rs-style cross-agreement on a smooth
+    multitone signal (tolerance 0.1-0.2)."""
+    data = multitone(7, 64)
+    cv = bd.to_real_time_vec(data).to_complex()
+    f = cv.interpolatef(bd.SincFunction(), 2.0, 0.0, 12)
+    i = cv.interpolatei(bd.SincFunction(), 2)
+    assert_vector_eq(np.asarray(f.to_real().array)[12:-12],
+                     np.asarray(i.to_real().array)[12:-12], tol=0.2)
+
+
+def test_upsample_downsample_round_trip():
+    """tests/interpolation_test.rs:340-404 analog."""
+    data = multitone(8, 100)
+    v = bd.to_real_time_vec(data).to_complex()
+    up = v.interpft(200)
+    down = up.interpft(100)
+    assert_vector_eq(down.to_real().array, data, tol=1e-6)
