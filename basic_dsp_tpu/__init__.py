@@ -23,6 +23,20 @@ from .conv_types import (
     SincFunction,
 )
 from .errors import DspError, ErrorReason
+from .matrix import (
+    ComplexFreqMatrix,
+    ComplexTimeMatrix,
+    DspMatrix,
+    GenDspMatrix,
+    RealFreqMatrix,
+    RealTimeMatrix,
+    from_rows,
+    to_complex_freq_mat,
+    to_complex_time_mat,
+    to_gen_dsp_mat,
+    to_real_freq_mat,
+    to_real_time_mat,
+)
 from .meta import DataDomain, NumberSpace
 from .ops.stats_ops import STATS_VEC_CAPACITY, Statistics, merge_stats
 from .vector import (

@@ -1,0 +1,268 @@
+"""The matrix (multi-channel) layer.
+
+The reference models a matrix as a collection of row vectors and re-derives
+every vector op by looping rows (matrix/src/lib.rs:32-74, general/ macro
+``add_mat_impl``).  The TPU-native design instead stores one ``(channels,
+points)`` device array and runs every op *batched* over the leading axis —
+elementwise math, FFTs and convolutions over all channels execute as single
+fused XLA ops (TPU FFTs/convs are fastest batched), and the channel axis is
+the natural sharding axis for the multi-chip path (the 1024-channel
+channelizer config).
+
+All vector operations are inherited from :class:`~.vector.DspVector`
+unchanged — the functional kernels already broadcast over leading axes.
+Row-wise reductions (statistics, sums, dot products) are overridden to
+return per-row results like the reference
+(matrix/src/general/statistics.rs:4-478).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import DspError, ErrorReason
+from .meta import DataDomain, NumberSpace
+from .ops import conv_ops, stats_ops
+from .vector import DspVector, _complex_dtype_for
+
+__all__ = [
+    "DspMatrix", "RealTimeMatrix", "RealFreqMatrix", "ComplexTimeMatrix",
+    "ComplexFreqMatrix", "GenDspMatrix",
+    "to_real_time_mat", "to_real_freq_mat", "to_complex_time_mat",
+    "to_complex_freq_mat", "to_gen_dsp_mat", "from_rows",
+]
+
+
+class DspMatrix(DspVector):
+    """A stack of equally-long DSP vectors sharing metadata.
+
+    ``col_len`` is the number of rows (channels) and ``row_len`` the number
+    of points per row, matching the reference Matrix trait
+    (matrix/src/mat_impl.rs:8-38).
+    """
+
+    _NDIM = 2
+
+    # -- Matrix trait ---------------------------------------------------
+    def row_len(self) -> int:
+        return int(self._data.shape[-1])
+
+    def row_points(self) -> int:
+        return int(self._data.shape[-1])
+
+    def col_len(self) -> int:
+        return int(self._data.shape[0])
+
+    def rows(self) -> List[DspVector]:
+        from .vector import GenDspVector
+        out = []
+        for i in range(self.col_len()):
+            if self._is_gen():
+                out.append(GenDspVector(self._data[i], self._delta,
+                                        self._domain, self._space))
+            else:
+                out.append(DspVector._flavor_class(self._space, self._domain)(
+                    self._data[i], self._delta))
+        return out
+
+    def row(self, i: int) -> DspVector:
+        return self.rows()[i]
+
+    @classmethod
+    def _flavor_class(cls, space: NumberSpace, domain: DataDomain):
+        return _MAT_FLAVORS[(space, domain)]
+
+    @classmethod
+    def _gen_class(cls):
+        return GenDspMatrix
+
+    def interleaved(self) -> np.ndarray:
+        arr = np.asarray(self._data)
+        if self.is_complex():
+            out = np.empty(arr.shape[:-1] + (2 * arr.shape[-1],),
+                           dtype=arr.real.dtype)
+            out[..., 0::2] = arr.real
+            out[..., 1::2] = arr.imag
+            return out
+        return arr
+
+    # -- Row-wise reductions (reference matrix/src/general/statistics.rs) --
+    def statistics(self):
+        return [stats_ops.statistics(self._data[i], self.is_complex())
+                for i in range(self.col_len())]
+
+    def statistics_prec(self):
+        return [stats_ops.statistics_prec(self._data[i], self.is_complex())
+                for i in range(self.col_len())]
+
+    def statistics_split(self, length: int):
+        return [stats_ops.statistics_split(self._data[i], length,
+                                           self.is_complex())
+                for i in range(self.col_len())]
+
+    def statistics_split_prec(self, length: int):
+        return [stats_ops.statistics_split_prec(self._data[i], length,
+                                                self.is_complex())
+                for i in range(self.col_len())]
+
+    def sum(self):
+        s = jnp.sum(self._data, axis=-1)
+        return [v.item() for v in s]
+
+    def sum_sq(self):
+        s = jnp.sum(self._data * self._data, axis=-1)
+        return [v.item() for v in s]
+
+    def sum_prec(self):
+        return [stats_ops.sum_prec(self._data[i])
+                for i in range(self.col_len())]
+
+    def sum_sq_prec(self):
+        return [stats_ops.sum_sq_prec(self._data[i])
+                for i in range(self.col_len())]
+
+    def dot_product(self, other):
+        bad = self._binary_check(other)
+        if bad is not None:
+            raise DspError(ErrorReason.INPUT_META_DATA_MUST_AGREE)
+        s = jnp.sum(self._data * other._data, axis=-1)
+        return [v.item() for v in s]
+
+    def dot_product_prec(self, other):
+        bad = self._binary_check(other)
+        if bad is not None:
+            raise DspError(ErrorReason.INPUT_META_DATA_MUST_AGREE)
+        return [stats_ops.dot_product_prec(self._data[i], other._data[i])
+                for i in range(self.col_len())]
+
+    # Round-robin split/merge apply per-row; disable the vector semantics to
+    # avoid silent misuse (the reference matrix layer does not expose them).
+    def split_into(self, n):
+        raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH,
+                       "split_into is a vector operation")
+
+    def merge(self, sources):
+        raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH,
+                       "merge is a vector operation")
+
+    # -- MIMO convolution (reference matrix/src/time_freq.rs:439-520) -----
+    def convolve_mat(self, impulse_response: "DspMatrixKernel") -> "DspMatrix":
+        """MIMO convolution: ``out[c] = sum_r rows[r] (*) imp[c][r]`` where
+        ``imp`` is a (col_len x col_len) grid of kernels
+        (vector side: time_freq/mod.rs:365-453).
+
+        TPU realization: one batched FFT over rows + an einsum over the
+        (out_channel, in_channel) kernel grid in frequency domain — the MXU
+        executes the channel-mixing contraction.
+        """
+        bad = self._check(domain=DataDomain.TIME)
+        if bad is not None:
+            return bad
+        imp = jnp.asarray(impulse_response)
+        if imp.ndim != 3 or imp.shape[0] != self.col_len() \
+                or imp.shape[1] != self.col_len():
+            raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH,
+                           "impulse_response must be (rows, rows, taps)")
+        n = self.points()
+        cdtype = _complex_dtype_for(jnp.zeros((), self._data.dtype).real.dtype)
+        g = conv_ops.kernel_layout(imp.astype(cdtype), n)  # (C, C, n)
+        G = jnp.fft.fft(g, axis=-1)
+        X = jnp.fft.fft(self._data.astype(cdtype), axis=-1)  # (C, n)
+        Y = jnp.einsum("crn,rn->cn", G, X)
+        out = jnp.fft.ifft(Y, axis=-1)
+        if not self.is_complex():
+            out = jnp.real(out).astype(self._data.dtype)
+        return self._make(out)
+
+
+class RealTimeMatrix(DspMatrix):
+    _SPACE = NumberSpace.REAL
+    _DOMAIN = DataDomain.TIME
+
+
+class RealFreqMatrix(DspMatrix):
+    _SPACE = NumberSpace.REAL
+    _DOMAIN = DataDomain.FREQUENCY
+
+
+class ComplexTimeMatrix(DspMatrix):
+    _SPACE = NumberSpace.COMPLEX
+    _DOMAIN = DataDomain.TIME
+
+
+class ComplexFreqMatrix(DspMatrix):
+    _SPACE = NumberSpace.COMPLEX
+    _DOMAIN = DataDomain.FREQUENCY
+
+
+class GenDspMatrix(DspMatrix):
+    def __init__(self, data, delta: float = 1.0,
+                 domain: DataDomain = DataDomain.TIME,
+                 space: NumberSpace = NumberSpace.REAL):
+        super().__init__(data, delta, domain, space)
+
+
+_MAT_FLAVORS = {
+    (NumberSpace.REAL, DataDomain.TIME): RealTimeMatrix,
+    (NumberSpace.REAL, DataDomain.FREQUENCY): RealFreqMatrix,
+    (NumberSpace.COMPLEX, DataDomain.TIME): ComplexTimeMatrix,
+    (NumberSpace.COMPLEX, DataDomain.FREQUENCY): ComplexFreqMatrix,
+}
+
+
+def to_real_time_mat(data, delta: float = 1.0) -> RealTimeMatrix:
+    return RealTimeMatrix(jnp.asarray(data), delta)
+
+
+def to_real_freq_mat(data, delta: float = 1.0) -> RealFreqMatrix:
+    return RealFreqMatrix(jnp.asarray(data), delta)
+
+
+def to_complex_time_mat(data, delta: float = 1.0) -> ComplexTimeMatrix:
+    return ComplexTimeMatrix(jnp.asarray(data), delta)
+
+
+def to_complex_freq_mat(data, delta: float = 1.0) -> ComplexFreqMatrix:
+    return ComplexFreqMatrix(jnp.asarray(data), delta)
+
+
+def to_gen_dsp_mat(data, is_complex: bool,
+                   domain: DataDomain = DataDomain.TIME,
+                   delta: float = 1.0) -> GenDspMatrix:
+    space = NumberSpace.COMPLEX if is_complex else NumberSpace.REAL
+    return GenDspMatrix(jnp.asarray(data), delta, domain, space)
+
+
+def from_rows(rows: Sequence[DspVector]) -> DspMatrix:
+    """Stack equally-long vectors into a matrix
+    (reference ToMatrix, matrix/src/to_from_mat_conversions.rs:6-110)."""
+    if not rows:
+        raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH)
+    first = rows[0]
+    if any(r.points() != first.points() or r.is_complex() != first.is_complex()
+           or r.domain() != first.domain() for r in rows):
+        raise DspError(ErrorReason.INPUT_META_DATA_MUST_AGREE)
+    data = jnp.stack([r.array for r in rows])
+    space = (NumberSpace.COMPLEX if first.is_complex() else NumberSpace.REAL)
+    return _MAT_FLAVORS[(space, first.domain())](data, first.delta())
+
+
+for _klass in (RealTimeMatrix, RealFreqMatrix, ComplexTimeMatrix,
+               ComplexFreqMatrix, GenDspMatrix):
+    jax.tree_util.register_pytree_node(
+        _klass,
+        lambda v: ((v._data,), (type(v), v._delta, v._domain, v._space)),
+        lambda aux, children: _mat_unflatten(aux, children))
+
+
+def _mat_unflatten(aux, children):
+    klass, delta, domain, space = aux
+    obj = object.__new__(klass)
+    obj._data = children[0]
+    obj._delta = delta
+    obj._domain = domain
+    obj._space = space
+    return obj

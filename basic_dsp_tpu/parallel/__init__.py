@@ -1,0 +1,18 @@
+"""Multi-chip execution: mesh sharding, halo-exchange convolution,
+collective statistics.
+
+This subsystem replaces the reference's multicore scheduler
+(multicore_support/threading.rs — thread fan-out over sample chunks) with
+``jax.sharding`` + ``shard_map`` over a device mesh: sample blocks become
+*shards*, the ``imp_len - 1`` overlap that the reference's overlap-save loop
+carries between blocks (convolution.rs:325-341) becomes a ``ppermute`` halo
+exchange over ICI, and the mergeable per-thread statistics partials
+(statistics.rs:211-250) become ``psum``/merge across chips.
+"""
+from .sharded import (
+    sharded_convolve_signal,
+    sharded_statistics,
+    sharded_sum,
+    shard_time_axis,
+)
+from .channelizer import polyphase_channelizer, fm_demodulate

@@ -1,0 +1,169 @@
+"""Time-axis sharded convolution and collective reductions.
+
+The sequence-parallel analog for DSP (SURVEY.md §2.5): a long signal is
+sharded over a 1-D mesh; the circular centered convolution runs blockwise on
+every chip, with the ``m_eff - 1`` boundary taps exchanged between ring
+neighbors via ``jax.lax.ppermute``.  Because the global convolution is
+*circular*, the ring topology supplies exactly the right wrap-around at the
+first/last shard — no special-casing (the reference patches these edges with
+scalar convolution, convolution.rs:374-398; here the ring does it).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import conv_ops, stats_ops
+
+
+def shard_time_axis(x: jnp.ndarray, mesh: Mesh,
+                    axis_name: str = "dsp") -> jnp.ndarray:
+    """Places a signal on the mesh, sharded over its last (time) axis."""
+    spec = P(*([None] * (x.ndim - 1) + [axis_name]))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _local_overlap_save(x_local, spectrum, m_eff, c, fft_len, axis_name):
+    """Per-shard body: halo exchange + batched-FFT block convolution.
+
+    ``x_local``: (ln,) shard.  Outputs the (ln,) shard of the global
+    circular centered convolution.
+    """
+    d = jax.lax.axis_size(axis_name)
+    halo_l = m_eff - c     # samples needed before each output
+    halo_r = c - 1         # samples needed after each output
+    # Ring exchange: my tail goes to my right neighbor's left halo; my head
+    # goes to my left neighbor's right halo.  perm pairs are (src, dst).
+    fwd = [(i, (i + 1) % d) for i in range(d)]
+    bwd = [(i, (i - 1) % d) for i in range(d)]
+    left_halo = jax.lax.ppermute(x_local[..., -halo_l:], axis_name, fwd) \
+        if halo_l > 0 else x_local[..., :0]
+    right_halo = jax.lax.ppermute(x_local[..., :halo_r], axis_name, bwd) \
+        if halo_r > 0 else x_local[..., :0]
+    ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
+
+    ln = x_local.shape[-1]
+    step = fft_len - (m_eff - 1)
+    nb = -(-ln // step)
+    # Window j: ext[j*step : j*step + fft_len]; pad ext so the last window
+    # is complete (padding only touches discarded outputs).
+    need = (nb - 1) * step + fft_len
+    pad = [(0, 0)] * (ext.ndim - 1) + [(0, max(0, need - ext.shape[-1]))]
+    ext = jnp.pad(ext, pad)
+    idx = (jnp.arange(nb) * step)[:, None] + jnp.arange(fft_len)[None, :]
+    windows = ext[..., idx]
+    conv = jnp.fft.ifft(jnp.fft.fft(windows, axis=-1) * spectrum, axis=-1)
+    valid = conv[..., halo_l: halo_l + step]
+    return valid.reshape(valid.shape[:-2] + (nb * step,))[..., :ln]
+
+
+def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
+                            axis_name: str = "dsp",
+                            fft_len: int = 0) -> jnp.ndarray:
+    """Circular centered convolution of a time-sharded signal.
+
+    Semantics identical to ``ops.conv_ops.convolve_signal_fft`` (and hence
+    the reference's ``convolve_signal``); execution is fully sharded —
+    per-shard batched FFTs plus one neighbor ppermute.
+
+    Requires ``len(x) % mesh.size == 0`` and a local shard at least as long
+    as the (clipped) kernel.
+    """
+    n = x.shape[-1]
+    m = h.shape[-1]
+    d = mesh.devices.size
+    if n % d != 0:
+        raise ValueError(f"signal length {n} not divisible by mesh size {d}")
+    start, length, c = conv_ops._clip_kernel(n, m)
+    m_eff = length
+    if n // d < m_eff:
+        raise ValueError("shard shorter than kernel; use fewer devices")
+    fft_len = conv_ops.pick_fft_len(m_eff, fft_len)
+    cdtype = jnp.result_type(x.dtype, h.dtype, jnp.complex64)
+    g = conv_ops.kernel_layout(h[..., start:start + length], fft_len)
+    spectrum = jnp.fft.fft(g.astype(cdtype), axis=-1)
+
+    body = functools.partial(_local_overlap_save, m_eff=m_eff, c=c,
+                             fft_len=fft_len, axis_name=axis_name)
+    fn = jax.shard_map(
+        lambda xs, sp: body(xs, sp),
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(axis_name),
+    )
+    out = fn(x.astype(cdtype), spectrum)
+    if not jnp.iscomplexobj(x) and not jnp.iscomplexobj(h):
+        out = jnp.real(out).astype(x.dtype)
+    return out
+
+
+def sharded_sum(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp"):
+    """psum-reduced sum over a time-sharded signal."""
+    fn = jax.shard_map(
+        lambda xs: jax.lax.psum(jnp.sum(xs, axis=-1), axis_name),
+        mesh=mesh, in_specs=P(axis_name), out_specs=P())
+    return fn(x)
+
+
+def sharded_statistics(x: jnp.ndarray, mesh: Mesh,
+                       axis_name: str = "dsp",
+                       is_complex: Optional[bool] = None):
+    """Statistics over a time-sharded signal.
+
+    Per-shard partials reduce with the same merge semantics the reference
+    uses for its per-thread partials (statistics.rs:211-250): sums/sumsq via
+    ``psum``, min/max (+ global index) via ``pmin``/``pmax`` on
+    (key, global_index) pairs.
+    """
+    if is_complex is None:
+        is_complex = bool(jnp.iscomplexobj(x))
+    n = x.shape[-1]
+    d = mesh.devices.size
+    ln = n // d
+
+    def body(xs):
+        i = jax.lax.axis_index(axis_name)
+        base = i * ln
+        s = jax.lax.psum(jnp.sum(xs), axis_name)
+        sq = jax.lax.psum(jnp.sum(xs * xs), axis_name)
+        key = jnp.abs(xs) if is_complex else xs
+        lmin = jnp.min(key)
+        lmax = jnp.max(key)
+        lmin_i = base + jnp.argmin(key)
+        lmax_i = base + jnp.argmax(key)
+        gmin = jax.lax.pmin(lmin, axis_name)
+        gmax = jax.lax.pmax(lmax, axis_name)
+        # The owner of the global extremum publishes value+index; others
+        # contribute zeros (psum-combine).  Ties resolve to one owner via
+        # index-min.
+        is_min_owner = lmin == gmin
+        is_max_owner = lmax == gmax
+        min_owner_rank = jax.lax.pmin(
+            jnp.where(is_min_owner, i, d), axis_name)
+        max_owner_rank = jax.lax.pmin(
+            jnp.where(is_max_owner, i, d), axis_name)
+        sel_min = (i == min_owner_rank)
+        sel_max = (i == max_owner_rank)
+        min_val = jax.lax.psum(jnp.where(sel_min, xs[jnp.argmin(key)], 0),
+                               axis_name)
+        max_val = jax.lax.psum(jnp.where(sel_max, xs[jnp.argmax(key)], 0),
+                               axis_name)
+        min_idx = jax.lax.psum(jnp.where(sel_min, lmin_i, 0), axis_name)
+        max_idx = jax.lax.psum(jnp.where(sel_max, lmax_i, 0), axis_name)
+        return s, sq, min_val, min_idx, max_val, max_idx
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=P(axis_name),
+                       out_specs=(P(), P(), P(), P(), P(), P()))
+    s, sq, mn, mn_i, mx, mx_i = (v.item() for v in fn(x))
+    if is_complex:
+        rms = complex(sq / n) ** 0.5
+    else:
+        rms = (sq / n) ** 0.5
+    return stats_ops.Statistics(sum=s, count=n, average=s / n, rms=rms,
+                                min=mn, min_index=int(mn_i), max=mx,
+                                max_index=int(mx_i))

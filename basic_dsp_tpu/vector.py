@@ -58,13 +58,16 @@ class DspVector:
     # Class-level flavor constraints; None == tracked at runtime (Gen).
     _SPACE: Optional[NumberSpace] = None
     _DOMAIN: Optional[DataDomain] = None
+    _NDIM = 1  # matrices (channel stacks) override with 2
 
     def __init__(self, data, delta: float = 1.0,
                  domain: Optional[DataDomain] = None,
                  space: Optional[NumberSpace] = None):
         data = jnp.asarray(data)
-        if data.ndim != 1:
-            raise ValueError("DSP vectors are 1-D; use Matrix for channels")
+        if data.ndim != self._NDIM:
+            raise ValueError(
+                f"{type(self).__name__} expects {self._NDIM}-D data; "
+                "use the matrix types for channel stacks")
         space = space or self._SPACE
         domain = domain or self._DOMAIN
         if space is None or domain is None:
@@ -82,10 +85,15 @@ class DspVector:
     # Construction helpers
     # ------------------------------------------------------------------
     @classmethod
-    def _class_for(cls, space: NumberSpace, domain: DataDomain):
-        if cls is GenDspVector or cls._SPACE is None:
-            return GenDspVector
+    def _flavor_class(cls, space: NumberSpace, domain: DataDomain):
         return _FLAVORS[(space, domain)]
+
+    @classmethod
+    def _gen_class(cls):
+        return GenDspVector
+
+    def _is_gen(self) -> bool:
+        return type(self)._SPACE is None
 
     def _make(self, data, delta: Optional[float] = None,
               domain: Optional[DataDomain] = None,
@@ -94,24 +102,25 @@ class DspVector:
         domain = domain or self._domain
         space = space or self._space
         delta = self._delta if delta is None else delta
-        if isinstance(self, GenDspVector):
-            return GenDspVector(data, delta, domain, space)
-        klass = _FLAVORS[(space, domain)]
-        return klass(data, delta)
+        if self._is_gen():
+            return self._gen_class()(data, delta, domain, space)
+        return self._flavor_class(space, domain)(data, delta)
 
     def _invalid(self, reason: ErrorReason,
                  domain: Optional[DataDomain] = None,
                  space: Optional[NumberSpace] = None) -> "DspVector":
         """Erroneous-vector protocol (reference vector_types/mod.rs:226-229)
         for Gen vectors; typed flavors raise instead."""
-        if isinstance(self, GenDspVector):
+        if self._is_gen():
             space = space or self._space
             dtype = (self._data.dtype if space == self._space
                      else (_complex_dtype_for(_real_dtype_of(self._data))
                            if space == NumberSpace.COMPLEX
                            else _real_dtype_of(self._data)))
-            return GenDspVector(jnp.zeros((0,), dtype=dtype), float("nan"),
-                                domain or self._domain, space)
+            shape = (0,) if self._NDIM == 1 else (self._data.shape[0], 0)
+            return self._gen_class()(jnp.zeros(shape, dtype=dtype),
+                                     float("nan"), domain or self._domain,
+                                     space)
         raise DspError(reason)
 
     # ------------------------------------------------------------------
@@ -138,7 +147,7 @@ class DspVector:
     def points(self) -> int:
         """Number of (real or complex) data points
         (reference vec_impl_and_indexers.rs:275-277)."""
-        return int(self._data.shape[0])
+        return int(self._data.shape[-1])
 
     def __len__(self) -> int:
         """Length in float elements, like the reference's ``len()``
@@ -353,7 +362,7 @@ class DspVector:
         bad = self._check(complex_=True)
         if bad is not None:
             return bad._retag(NumberSpace.REAL) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         return self._make(fn(self._data), space=NumberSpace.REAL)
 
     def magnitude(self) -> "DspVector":
@@ -413,7 +422,7 @@ class DspVector:
         bad = self._check(complex_=False)
         if bad is not None:
             return bad._retag(NumberSpace.COMPLEX) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         cdtype = _complex_dtype_for(self._data.dtype)
         return self._make(self._data.astype(cdtype),
                           space=NumberSpace.COMPLEX)
@@ -455,8 +464,9 @@ class DspVector:
         (reference vec_impl_and_indexers.rs ResizeOps)."""
         n = self.points()
         if points <= n:
-            return self._make(self._data[:points])
-        return self._make(jnp.pad(self._data, (0, points - n)))
+            return self._make(self._data[..., :points])
+        widths = [(0, 0)] * (self._data.ndim - 1) + [(0, points - n)]
+        return self._make(jnp.pad(self._data, widths))
 
     # ------------------------------------------------------------------
     # Diff / cumsum (reference general/diff_sum.rs)
@@ -549,9 +559,9 @@ class DspVector:
         elif space == NumberSpace.REAL and self.is_complex():
             inter = jnp.stack([jnp.real(data), jnp.imag(data)], axis=-1)
             data = inter.reshape(-1)
-        if isinstance(self, GenDspVector):
-            return GenDspVector(data, self._delta, domain, space)
-        return _FLAVORS[(space, domain)](data, self._delta)
+        if self._is_gen():
+            return self._gen_class()(data, self._delta, domain, space)
+        return self._flavor_class(space, domain)(data, self._delta)
 
     def rededicate_to(self, space: NumberSpace,
                       domain: DataDomain) -> "DspVector":
@@ -570,7 +580,7 @@ class DspVector:
         bad = self._check(domain=DataDomain.TIME)
         if bad is not None:
             return bad._retag(NumberSpace.COMPLEX, DataDomain.FREQUENCY) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         work = self if self.is_complex() else self.to_complex()
         return self._make(fft_ops.plain_fft(work._data),
                           delta=work._fft_delta(),
@@ -594,7 +604,7 @@ class DspVector:
                or self._check(complex_=False))
         if bad is not None:
             return bad._retag(NumberSpace.COMPLEX, DataDomain.FREQUENCY) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         if self.points() % 2 == 0:
             return self._invalid(ErrorReason.INPUT_MUST_HAVE_AN_ODD_LENGTH,
                                  domain=DataDomain.FREQUENCY,
@@ -611,7 +621,7 @@ class DspVector:
                or self._check(complex_=False))
         if bad is not None:
             return bad._retag(NumberSpace.COMPLEX, DataDomain.FREQUENCY) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         if self.points() % 2 == 0:
             return self._invalid(ErrorReason.INPUT_MUST_HAVE_AN_ODD_LENGTH,
                                  domain=DataDomain.FREQUENCY,
@@ -627,7 +637,7 @@ class DspVector:
                or self._check(complex_=False))
         if bad is not None:
             return bad._retag(NumberSpace.COMPLEX, DataDomain.FREQUENCY) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         if self.points() % 2 == 0:
             return self._invalid(ErrorReason.INPUT_MUST_HAVE_AN_ODD_LENGTH,
                                  domain=DataDomain.FREQUENCY,
@@ -643,7 +653,7 @@ class DspVector:
         bad = self._check(domain=DataDomain.FREQUENCY)
         if bad is not None:
             return bad._retag(NumberSpace.COMPLEX, DataDomain.TIME) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         work = self if self.is_complex() else self.to_complex()
         return self._make(fft_ops.plain_ifft(work._data),
                           delta=work._fft_delta(),
@@ -655,7 +665,7 @@ class DspVector:
         bad = self._check(domain=DataDomain.FREQUENCY)
         if bad is not None:
             return bad._retag(NumberSpace.COMPLEX, DataDomain.TIME) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         n = self.points()
         return self.scale(1.0 / n).ifft_shift().plain_ifft()
 
@@ -669,7 +679,7 @@ class DspVector:
                or self._check(complex_=True))
         if bad is not None:
             return bad._retag(NumberSpace.REAL, DataDomain.TIME) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         if self.points() > 0 and abs(float(jnp.imag(self._data[0]))) > 1e-10:
             return self._invalid(ErrorReason.INPUT_MUST_BE_CONJ_SYMMETRIC,
                                  domain=DataDomain.TIME,
@@ -687,7 +697,7 @@ class DspVector:
                or self._check(complex_=True))
         if bad is not None:
             return bad._retag(NumberSpace.REAL, DataDomain.TIME) \
-                if isinstance(bad, GenDspVector) else bad
+                if bad._is_gen() else bad
         n = self.points()
         return self.scale(1.0 / n).ifft_shift().plain_sifft()
 

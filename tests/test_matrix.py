@@ -1,0 +1,104 @@
+"""Matrix layer: batched ops agree with per-row vector ops; MIMO
+convolution matches the sum-over-rows definition
+(matrix/src/time_freq.rs:439-520)."""
+import numpy as np
+import pytest
+
+import basic_dsp_tpu as bd
+from tools import assert_vector_eq, create_complex_data, create_data
+
+
+def test_matrix_roundtrip_rows():
+    rows = [bd.to_real_time_vec(create_data(i, 16)) for i in range(3)]
+    mat = bd.from_rows(rows)
+    assert mat.col_len() == 3 and mat.row_len() == 16
+    back = mat.rows()
+    for r, b in zip(rows, back):
+        assert isinstance(b, bd.RealTimeVector)
+        assert_vector_eq(b.array, r.array, tol=0)
+
+
+def test_matrix_elementwise_matches_rows():
+    rows = [bd.to_real_time_vec(np.abs(create_data(i, 32)) + 1.0)
+            for i in range(4)]
+    mat = bd.from_rows(rows)
+    out = mat.sin().scale(2.0).offset(1.0)
+    for i, r in enumerate(rows):
+        expected = r.sin().scale(2.0).offset(1.0)
+        assert_vector_eq(out.rows()[i].array, expected.array, tol=1e-12)
+
+
+def test_matrix_fft_matches_rows():
+    rows = [bd.to_complex_time_vec(create_complex_data(i, 64))
+            for i in range(2)]
+    mat = bd.from_rows(rows)
+    freq = mat.fft()
+    assert isinstance(freq, bd.ComplexFreqMatrix)
+    for i, r in enumerate(rows):
+        assert_vector_eq(freq.rows()[i].array, r.fft().array, tol=1e-9)
+    back = freq.ifft()
+    for i, r in enumerate(rows):
+        assert_vector_eq(back.rows()[i].array, r.array, tol=1e-9)
+
+
+def test_matrix_convolve_signal_matches_rows():
+    rows = [bd.to_complex_time_vec(create_complex_data(i, 100))
+            for i in range(3)]
+    imp = bd.to_complex_time_vec(create_complex_data(99, 7))
+    mat = bd.from_rows(rows)
+    out = mat.convolve_signal(imp)
+    for i, r in enumerate(rows):
+        assert_vector_eq(out.rows()[i].array, r.convolve_signal(imp).array,
+                         tol=1e-9)
+
+
+def test_matrix_statistics_per_row():
+    rows = [bd.to_real_time_vec(create_data(i, 50)) for i in range(3)]
+    mat = bd.from_rows(rows)
+    stats = mat.statistics()
+    assert len(stats) == 3
+    for s, r in zip(stats, rows):
+        rs = r.statistics()
+        assert abs(s.sum - rs.sum) < 1e-9
+        assert s.max_index == rs.max_index
+    sums = mat.sum()
+    for s, r in zip(sums, rows):
+        assert abs(s - r.sum()) < 1e-9
+
+
+def test_mimo_convolution():
+    """out[c] = sum_r rows[r] conv imp[c][r] — crosstalk-style 2x2 mix."""
+    n = 64
+    x0 = create_complex_data(0, n)
+    x1 = create_complex_data(1, n)
+    atten = create_complex_data(10, 5)
+    cross = create_complex_data(11, 5) * 0.1
+    mat = bd.from_rows([bd.to_complex_time_vec(x0),
+                        bd.to_complex_time_vec(x1)])
+    imp = np.stack([np.stack([atten, cross]), np.stack([cross, atten])])
+    out = mat.convolve_mat(imp)
+    v0 = bd.to_complex_time_vec(x0)
+    v1 = bd.to_complex_time_vec(x1)
+    k_at = bd.to_complex_time_vec(atten)
+    k_cr = bd.to_complex_time_vec(cross)
+    exp0 = v0.convolve_signal(k_at).add(v1.convolve_signal(k_cr))
+    exp1 = v0.convolve_signal(k_cr).add(v1.convolve_signal(k_at))
+    assert_vector_eq(out.rows()[0].array, exp0.array, tol=1e-8)
+    assert_vector_eq(out.rows()[1].array, exp1.array, tol=1e-8)
+
+
+def test_matrix_magnitude_flavor():
+    mat = bd.to_complex_time_mat(create_complex_data(5, 32).reshape(2, 16))
+    mag = mat.magnitude()
+    assert isinstance(mag, bd.RealTimeMatrix)
+    assert mag.col_len() == 2
+
+
+def test_matrix_interpolatef():
+    rows = [bd.to_complex_time_vec(create_complex_data(i, 40))
+            for i in range(2)]
+    mat = bd.from_rows(rows)
+    out = mat.interpolatef(bd.SincFunction(), 2.0, 0.0, 8)
+    for i, r in enumerate(rows):
+        expected = r.interpolatef(bd.SincFunction(), 2.0, 0.0, 8)
+        assert_vector_eq(out.rows()[i].array, expected.array, tol=1e-9)
