@@ -73,43 +73,64 @@ def convolve_signal_fft(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
     return out if is_complex else jnp.real(out).astype(x.dtype)
 
 
+def blocked_linear_conv(x: jnp.ndarray, h_eff: jnp.ndarray,
+                        fft_len: int) -> jnp.ndarray:
+    """Full linear convolution ``len(x) + m_eff - 1`` via a blocked
+    overlap-add pipeline of batched small FFTs.
+
+    TPU note: this deliberately uses only reshape / pad / slice / add — no
+    gathers.  A gather-based overlap-*save* window extraction measures ~30x
+    slower than the whole-signal FFT on TPU; this overlap-add formulation
+    beats it.  Requires ``fft_len >= 2 * m_eff - 1`` so each block's tail
+    only spills into the following block.
+    """
+    n = x.shape[-1]
+    m_eff = h_eff.shape[-1]
+    cdtype = jnp.result_type(x.dtype, h_eff.dtype, jnp.complex64)
+    L = fft_len - (m_eff - 1)
+    assert L >= m_eff - 1, "fft_len too small for single-block overlap"
+    nb = -(-n // L)
+    lead = x.ndim - 1
+    xpad = jnp.pad(x, [(0, 0)] * lead + [(0, nb * L - n)])
+    blocks = xpad.reshape(x.shape[:-1] + (nb, L))
+    blocks = jnp.pad(blocks, [(0, 0)] * (lead + 1) + [(0, m_eff - 1)])
+    h_pad = jnp.pad(h_eff, [(0, 0)] * (h_eff.ndim - 1)
+                    + [(0, fft_len - m_eff)])
+    spectrum = jnp.fft.fft(h_pad.astype(cdtype), axis=-1)
+    y = jnp.fft.ifft(jnp.fft.fft(blocks.astype(cdtype), axis=-1) * spectrum,
+                     axis=-1)
+    main = y[..., :L].reshape(x.shape[:-1] + (nb * L,))
+    tails = y[..., L:]                      # (..., nb, m_eff-1)
+    tpad = jnp.pad(tails, [(0, 0)] * (lead + 1) + [(0, L - (m_eff - 1))])
+    tflat = tpad.reshape(x.shape[:-1] + (nb * L,))
+    total = nb * L + m_eff - 1
+    main_full = jnp.pad(main, [(0, 0)] * lead + [(0, m_eff - 1)])
+    tail_full = jnp.pad(tflat, [(0, 0)] * lead + [(L, 0)])[..., :total]
+    return (main_full + tail_full)[..., : n + m_eff - 1]
+
+
 @functools.partial(jax.jit, static_argnames=("is_complex", "fft_len"))
 def overlap_save(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
                  fft_len: int):
-    """Blocked overlap-save evaluation of the same circular centered
-    convolution (reference overlap_discard, convolution.rs:304-462).
+    """Blocked evaluation of the circular centered convolution — the TPU
+    counterpart of the reference's overlap-discard path
+    (convolution.rs:304-462).
 
-    Instead of the reference's sequential block loop with an overlap-restore
-    buffer, all blocks are gathered at once (circular indexing supplies both
-    the inter-block overlap and the head/tail wrap-around that the reference
-    patches up with scalar convolution) and pushed through one *batched*
-    FFT -> multiply -> IFFT pipeline — the shape XLA/TPU executes best.
-    Each block is independent, which is exactly what lets the distributed
-    layer scatter blocks across chips with a ppermute halo exchange.
+    The sequential block loop with its overlap-restore buffer becomes one
+    *batched* FFT -> multiply -> IFFT pipeline over all blocks (overlap-add
+    formulation, see :func:`blocked_linear_conv`); the reference's scalar
+    head/tail patch-up (convolution.rs:374-398) becomes a circular fold of
+    the linear-convolution tail plus a roll for the center alignment.
     """
     n = x.shape[-1]
     m = h.shape[-1]
     start, length, c = _clip_kernel(n, m)
     m_eff = length
-    overlap = m_eff - 1
-    step = fft_len - overlap
-    assert step > 0
-    nb = -(-n // step)  # cdiv
-    cdtype = jnp.result_type(x.dtype, jnp.complex64)
-
-    g = kernel_layout(h[..., start:start + length], fft_len)
-    spectrum = jnp.fft.fft(g.astype(cdtype), axis=-1)
-
-    # Window j covers outputs [j*step, (j+1)*step); its input span is
-    # [j*step - (m_eff - c), j*step + step + c - 1), circularly indexed.
-    block_starts = jnp.arange(nb) * step - (m_eff - c)
-    offs = jnp.arange(fft_len)
-    idx = (block_starts[:, None] + offs[None, :]) % n
-    windows = x[..., idx].astype(cdtype)  # (..., nb, fft_len)
-
-    conv = jnp.fft.ifft(jnp.fft.fft(windows, axis=-1) * spectrum, axis=-1)
-    valid = conv[..., m_eff - c: m_eff - c + step]
-    out = valid.reshape(valid.shape[:-2] + (nb * step,))[..., :n]
+    lin = blocked_linear_conv(x, h[..., start:start + length], fft_len)
+    # Circular fold: wrap the tail [n, n+m_eff-1) onto [0, m_eff-1).
+    head = lin[..., :m_eff - 1] + lin[..., n:]
+    folded = jnp.concatenate([head, lin[..., m_eff - 1:n]], axis=-1)
+    out = jnp.roll(folded, -(c - 1), axis=-1)
     return out if is_complex else jnp.real(out).astype(x.dtype)
 
 

@@ -28,7 +28,7 @@ def shard_time_axis(x: jnp.ndarray, mesh: Mesh,
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def _local_overlap_save(x_local, spectrum, m_eff, c, fft_len, axis_name):
+def _local_overlap_save(x_local, h_eff, m_eff, c, fft_len, axis_name):
     """Per-shard body: halo exchange + batched-FFT block convolution.
 
     ``x_local``: (ln,) shard.  Outputs the (ln,) shard of the global
@@ -48,18 +48,10 @@ def _local_overlap_save(x_local, spectrum, m_eff, c, fft_len, axis_name):
     ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
 
     ln = x_local.shape[-1]
-    step = fft_len - (m_eff - 1)
-    nb = -(-ln // step)
-    # Window j: ext[j*step : j*step + fft_len]; pad ext so the last window
-    # is complete (padding only touches discarded outputs).
-    need = (nb - 1) * step + fft_len
-    pad = [(0, 0)] * (ext.ndim - 1) + [(0, max(0, need - ext.shape[-1]))]
-    ext = jnp.pad(ext, pad)
-    idx = (jnp.arange(nb) * step)[:, None] + jnp.arange(fft_len)[None, :]
-    windows = ext[..., idx]
-    conv = jnp.fft.ifft(jnp.fft.fft(windows, axis=-1) * spectrum, axis=-1)
-    valid = conv[..., halo_l: halo_l + step]
-    return valid.reshape(valid.shape[:-2] + (nb * step,))[..., :ln]
+    # Local outputs are the linear convolution of the halo-extended shard,
+    # offset by m_eff - 1 (gather-free overlap-add pipeline).
+    lin = conv_ops.blocked_linear_conv(ext, h_eff, fft_len)
+    return lin[..., m_eff - 1: m_eff - 1 + ln]
 
 
 def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
@@ -85,18 +77,17 @@ def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
         raise ValueError("shard shorter than kernel; use fewer devices")
     fft_len = conv_ops.pick_fft_len(m_eff, fft_len)
     cdtype = jnp.result_type(x.dtype, h.dtype, jnp.complex64)
-    g = conv_ops.kernel_layout(h[..., start:start + length], fft_len)
-    spectrum = jnp.fft.fft(g.astype(cdtype), axis=-1)
+    h_eff = h[..., start:start + length].astype(cdtype)
 
     body = functools.partial(_local_overlap_save, m_eff=m_eff, c=c,
                              fft_len=fft_len, axis_name=axis_name)
     fn = jax.shard_map(
-        lambda xs, sp: body(xs, sp),
+        lambda xs, he: body(xs, he),
         mesh=mesh,
         in_specs=(P(axis_name), P()),
         out_specs=P(axis_name),
     )
-    out = fn(x.astype(cdtype), spectrum)
+    out = fn(x.astype(cdtype), h_eff)
     if not jnp.iscomplexobj(x) and not jnp.iscomplexobj(h):
         out = jnp.real(out).astype(x.dtype)
     return out

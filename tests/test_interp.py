@@ -211,3 +211,19 @@ def test_upsample_downsample_round_trip():
     up = v.interpft(200)
     down = up.interpft(100)
     assert_vector_eq(down.to_real().array, data, tol=1e-6)
+
+
+def test_interpolatef_integer_spectral_matches_gather():
+    """The integer-factor spectral polyphase fast path must agree with the
+    general gather path to numerical precision."""
+    from basic_dsp_tpu.ops import interp_ops
+    import jax.numpy as jnp
+    for n, F, L, delay in [(40, 2, 5, 0.0), (33, 3, 7, 1.0), (16, 8, 8, 0.5)]:
+        x = multitone(n, n) + 1j * multitone(n + 1, n)
+        xj = jnp.asarray(x)
+        fast = interp_ops._interpolatef_integer_spectral(
+            xj, bd.SincFunction(), F, delay, L)
+        slow = interp_ops._interpolatef_gather(
+            xj, bd.SincFunction(), float(F), delay, L, F * n)
+        assert_vector_eq(np.asarray(fast), np.asarray(slow), tol=1e-9,
+                         msg=f"n={n} F={F} L={L}")
