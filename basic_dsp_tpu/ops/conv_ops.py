@@ -33,6 +33,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def next_power_of_two(value: int) -> int:
@@ -134,12 +135,63 @@ def overlap_save(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
     return out if is_complex else jnp.real(out).astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("is_complex",))
+def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
+    """MXU-native direct evaluation of the circular centered convolution
+    for short kernels.
+
+    The reference's SIMD path precomputes register-shifted kernel copies and
+    runs a vector MAC loop (time_freq/mod.rs:81-165, 498-610).  The TPU
+    analog maps the shifted-kernel trick onto the systolic array: with the
+    signal reshaped to (rows, 128) lanes, a shift by ``e = 128a + b``
+    factors into a row shift (a) and a lane shift (b), and the sum over lane
+    shifts weighted by taps is exactly a matmul against a 128x128 banded
+    Toeplitz matrix.  The whole convolution becomes
+    ``sum_a rowshift_a(Z) @ T_a`` — a handful of (n/128, 128) x (128, 128)
+    matmuls, no gathers, no FFT.
+    """
+    n = x.shape[-1]
+    m = h.shape[-1]
+    start, length, c = _clip_kernel(n, m)
+    h_eff = h[..., start:start + length]
+    m_eff = length
+    assert n % 128 == 0, "toeplitz_conv requires n % 128 == 0"
+    q = h_eff[..., ::-1]  # taps over forward offsets e = 0..m_eff-1
+    dtype = jnp.result_type(x.dtype, q.dtype)
+    # z[i] = x[i - (m_eff - c)] so that out[i] = sum_e z[i+e] q[e].
+    z = jnp.roll(x, m_eff - c, axis=-1).astype(dtype)
+    R = n // 128
+    n_shifts = -(-(m_eff + 127) // 128)  # row shifts needed: e up to m_eff-1
+    # Tap matrices: T_a[j, col] = q[128*a + j - col] where defined.
+    j = np.arange(128)[:, None]
+    col = np.arange(128)[None, :]
+    out = jnp.zeros_like(z)
+    zr = z.reshape(z.shape[:-1] + (R, 128))
+    for a in range(n_shifts):
+        e = 128 * a + j - col
+        mask = (e >= 0) & (e < m_eff)
+        idx = np.where(mask, e, 0)
+        Ta = jnp.where(jnp.asarray(mask), q[..., idx], 0).astype(dtype)
+        block = jnp.roll(z, -128 * a, axis=-1).reshape(
+            z.shape[:-1] + (R, 128))
+        out = out + jnp.matmul(block, Ta).reshape(z.shape)
+    return out if is_complex else jnp.real(out).astype(x.dtype)
+
+
 def pick_fft_len(imp_len: int, requested: int = 0) -> int:
-    """Reference convolution.rs:325-331/536: ``next_pow2(imp_len)`` requested,
-    raised to at least ``next_pow2(4*(imp_len-1))``."""
+    """Block length for the blocked conv pipeline.
+
+    The reference uses ``next_pow2(imp_len)`` raised to at least
+    ``next_pow2(4*(imp_len-1))`` (convolution.rs:325-331/536) — sized for
+    CPU caches.  On TPU, measured sweeps put the optimum at much larger
+    blocks (~32x the kernel, capped at 4096), where batched-FFT efficiency
+    and block-overlap overhead balance.
+    """
     min_len = next_power_of_two(4 * max(imp_len - 1, 1))
-    req = requested if requested else next_power_of_two(imp_len)
-    return max(req, min_len)
+    if requested:
+        return max(requested, min_len)
+    preferred = min(next_power_of_two(32 * max(imp_len, 1)), 4096)
+    return max(preferred, min_len)
 
 
 def convolve_signal(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,

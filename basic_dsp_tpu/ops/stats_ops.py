@@ -29,6 +29,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 STATS_VEC_CAPACITY = 16
 
@@ -124,29 +125,60 @@ def sum_sq(x: jnp.ndarray):
 
 def _to_prec(x: jnp.ndarray) -> jnp.ndarray:
     """Widen to a 64-bit accumulator dtype when x64 is enabled; otherwise
-    stay in f32 (TPU default) — callers that need the strict ``*_prec``
-    contract should enable x64 (see config.enable_x64)."""
+    stay in f32 (the chunked host-combine path below supplies the accuracy
+    on f32-only backends)."""
     if jnp.iscomplexobj(x):
         return x.astype(jnp.complex128) if jax.config.jax_enable_x64 else x
     return x.astype(jnp.float64) if jax.config.jax_enable_x64 else x
 
 
+def _chunked_prec_sum(x: jnp.ndarray, square: bool):
+    """Precise sum on f32-only backends (TPU): pull the exact f32 values to
+    host and accumulate in f64 — the same contract as the reference's
+    Kahan/Neumaier-compensated f64 accumulation of f32 inputs
+    (precise_stats.rs:120-124, 622-660)."""
+    h = np.asarray(x)
+    h = h.astype(np.complex128 if np.iscomplexobj(h) else np.float64)
+    if square:
+        h = h * h
+    s = h.sum(axis=-1)
+    return complex(s) if np.iscomplexobj(h) else float(s)
+
+
 def sum_prec(x: jnp.ndarray):
     """f64-accumulated sum (reference precise_stats.rs sum_prec)."""
-    return jnp.sum(_to_prec(x), axis=-1).item()
+    if jax.config.jax_enable_x64:
+        return jnp.sum(_to_prec(x), axis=-1).item()
+    return _chunked_prec_sum(x, square=False)
 
 
 def sum_sq_prec(x: jnp.ndarray):
-    y = _to_prec(x)
-    return jnp.sum(y * y, axis=-1).item()
+    if jax.config.jax_enable_x64:
+        y = _to_prec(x)
+        return jnp.sum(y * y, axis=-1).item()
+    return _chunked_prec_sum(x, square=True)
 
 
 def statistics_prec(x: jnp.ndarray, is_complex: bool) -> Statistics:
-    return statistics(_to_prec(x), is_complex)
+    if jax.config.jax_enable_x64:
+        return statistics(_to_prec(x), is_complex)
+    base = statistics(x, is_complex)  # min/max/indices are exact already
+    n = x.shape[-1]
+    if n == 0:
+        return base
+    s = _chunked_prec_sum(x, square=False)
+    sq = _chunked_prec_sum(x, square=True)
+    rms = (sq / n) ** 0.5 if not is_complex else complex(sq / n) ** 0.5
+    return Statistics(sum=s, count=n, average=s / n, rms=rms, min=base.min,
+                      min_index=base.min_index, max=base.max,
+                      max_index=base.max_index)
 
 
 def statistics_split_prec(x: jnp.ndarray, length: int, is_complex: bool):
-    return statistics_split(_to_prec(x), length, is_complex)
+    if jax.config.jax_enable_x64:
+        return statistics_split(_to_prec(x), length, is_complex)
+    return [statistics_prec(x[..., k::length], is_complex)
+            for k in range(length)]
 
 
 @jax.jit
@@ -161,7 +193,9 @@ def dot_product(x: jnp.ndarray, y: jnp.ndarray):
 
 
 def dot_product_prec(x: jnp.ndarray, y: jnp.ndarray):
-    return jnp.sum(_to_prec(x) * _to_prec(y), axis=-1).item()
+    if jax.config.jax_enable_x64:
+        return jnp.sum(_to_prec(x) * _to_prec(y), axis=-1).item()
+    return _chunked_prec_sum(x * y, square=False)
 
 
 def merge_stats(parts):

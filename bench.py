@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-ITERS = 20
+ITERS = 50
 
 
 def main():
@@ -46,20 +46,23 @@ def main():
         x = x_re + 1j * x_im
         taps = taps_re.astype(jnp.complex64)
 
-        def body(_, acc):
-            filtered = conv_ops.overlap_save(x, taps, True, fft_len)
+        def body(_, carry):
+            filtered = conv_ops.overlap_save(carry, taps, True, fft_len)
             spectrum = fft_ops.fft_shifted(filtered
                                            * window.astype(filtered.dtype))
-            return acc + jnp.abs(spectrum[0])
+            # Feed the result back so XLA cannot hoist the chain out of the
+            # loop; the spectrum feeds in via its first magnitude.
+            return filtered / (jnp.abs(spectrum[0]) + 1.0)
 
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+        out = jax.lax.fori_loop(0, ITERS, body, x)
+        return jnp.abs(out[0])
 
-    out = chain_iters(x_re, x_im, taps_re, window)
-    out.block_until_ready()  # compile + warm
+    # Host fetch forces completion (block_until_ready does not reliably
+    # block through the axon tunnel).
+    float(chain_iters(x_re, x_im, taps_re, window))  # compile + warm
 
     start = time.perf_counter()
-    out = chain_iters(x_re, x_im, taps_re, window)
-    out.block_until_ready()
+    float(chain_iters(x_re, x_im, taps_re, window))
     elapsed = (time.perf_counter() - start) / ITERS
     msamples_per_s = n / elapsed / 1e6
 

@@ -176,3 +176,23 @@ def test_real_convolve_signal():
     assert_vector_eq(out.array,
                      [9.0, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
                      tol=1e-6)
+
+
+def test_toeplitz_conv_matches_fft():
+    """The MXU Toeplitz-matmul direct path must equal the spectral path."""
+    import jax.numpy as jnp
+    for n, m in [(256, 3), (512, 64), (1024, 129), (1280, 202)]:
+        x = create_complex_data(n, n)
+        h = create_complex_data(m, m)
+        direct = conv_ops.convolve_signal_fft(jnp.asarray(x), jnp.asarray(h),
+                                              True)
+        toep = conv_ops.toeplitz_conv(jnp.asarray(x), jnp.asarray(h), True)
+        assert_vector_eq(np.asarray(toep), np.asarray(direct), tol=1e-8,
+                         msg=f"n={n} m={m}")
+    # Real flavor.
+    x = np.random.default_rng(0).normal(size=512)
+    h = np.random.default_rng(1).normal(size=17)
+    direct = conv_ops.convolve_signal_fft(jnp.asarray(x), jnp.asarray(h),
+                                          False)
+    toep = conv_ops.toeplitz_conv(jnp.asarray(x), jnp.asarray(h), False)
+    assert_vector_eq(np.asarray(toep), np.asarray(direct), tol=1e-8)
