@@ -1,0 +1,125 @@
+"""Python-side dispatch for the C ABI interop layer.
+
+The native library (interop/src/interop.cpp) embeds CPython and forwards
+every C call through :func:`call`, which executes the vector operation and
+returns ``(result_code, result)`` instead of raising — the exact protocol of
+the reference interop crate (error codes interop/src/lib.rs:107-141,
+``VectorInteropResult`` lib.rs:202-212).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from .errors import DspError, ErrorReason
+from .meta import DataDomain, NumberSpace
+from .vector import GenDspVector, DspVector
+from . import conv_types, windows
+
+# Error codes: reference interop/src/lib.rs:107-141.
+_ERROR_CODES = {
+    ErrorReason.INPUT_MUST_HAVE_THE_SAME_SIZE: 1,
+    ErrorReason.INPUT_META_DATA_MUST_AGREE: 2,
+    ErrorReason.INPUT_MUST_BE_COMPLEX: 3,
+    ErrorReason.INPUT_MUST_BE_REAL: 4,
+    ErrorReason.INPUT_MUST_BE_IN_TIME_DOMAIN: 5,
+    ErrorReason.INPUT_MUST_BE_IN_FREQUENCY_DOMAIN: 6,
+    ErrorReason.INVALID_ARGUMENT_LENGTH: 7,
+    ErrorReason.INPUT_MUST_BE_CONJ_SYMMETRIC: 8,
+    ErrorReason.INPUT_MUST_HAVE_AN_ODD_LENGTH: 9,
+    ErrorReason.ARGUMENT_FUNCTION_MUST_BE_SYMMETRIC: 10,
+    ErrorReason.INVALID_NUMBER_OF_ARGUMENTS_FOR_COMBINED_OP: 11,
+    ErrorReason.INPUT_MUST_NOT_BE_EMPTY: 12,
+    ErrorReason.INPUT_MUST_HAVE_AN_EVEN_LENGTH: 13,
+    ErrorReason.TYPE_CAN_NOT_RESIZE: 14,
+}
+
+_WINDOWS = {
+    0: windows.TriangularWindow,
+    1: windows.HammingWindow,
+    2: windows.BlackmanHarrisWindow,
+    3: windows.RectangularWindow,
+}
+
+
+def translate_window(window_id: int):
+    """Reference translate_to_window_function (lib.rs:153-165)."""
+    return _WINDOWS.get(int(window_id), windows.RectangularWindow)()
+
+
+def translate_conv_function(function_id: int, rolloff: float):
+    """Reference translate_to_real_convolution_function (lib.rs:167-179):
+    0 = sinc, otherwise raised cosine."""
+    if int(function_id) == 0:
+        return conv_types.SincFunction()
+    return conv_types.RaisedCosineFunction(rolloff)
+
+
+def translate_padding_option(value: int) -> str:
+    """Reference translate_to_padding_option (lib.rs:193-199)."""
+    return {0: "end", 1: "surround"}.get(int(value), "center")
+
+
+def new_vector(is_complex: int, domain: int, init_value: float, length: int,
+               delta: float, use_f64: int) -> GenDspVector:
+    """Reference new32/new64 (facade32.rs:21-40)."""
+    import jax.numpy as jnp
+    dom = DataDomain.TIME if domain == 0 else DataDomain.FREQUENCY
+    rdtype = jnp.float64 if use_f64 else jnp.float32
+    if is_complex:
+        # `length` counts interleaved float elements, like the reference.
+        n = length // 2
+        cdtype = jnp.complex128 if use_f64 else jnp.complex64
+        data = jnp.full((n,), complex(init_value, init_value), dtype=cdtype)
+        return GenDspVector(data, delta, dom, NumberSpace.COMPLEX)
+    data = jnp.full((length,), init_value, dtype=rdtype)
+    return GenDspVector(data, delta, dom, NumberSpace.REAL)
+
+
+def from_interleaved(is_complex: int, domain: int, delta: float,
+                     data: np.ndarray) -> GenDspVector:
+    import jax.numpy as jnp
+    dom = DataDomain.TIME if domain == 0 else DataDomain.FREQUENCY
+    if is_complex:
+        arr = np.asarray(data)
+        cplx = arr[0::2] + 1j * arr[1::2]
+        return GenDspVector(jnp.asarray(cplx), delta, dom,
+                            NumberSpace.COMPLEX)
+    return GenDspVector(jnp.asarray(np.asarray(data)), delta, dom,
+                        NumberSpace.REAL)
+
+
+def get_value(vec: DspVector, index: int) -> float:
+    """Interleaved float element access (reference get_value32)."""
+    return float(vec.interleaved()[index])
+
+
+def set_value(vec: DspVector, index: int, value: float) -> DspVector:
+    inter = vec.interleaved().copy()
+    inter[index] = value
+    return from_interleaved(1 if vec.is_complex() else 0,
+                            0 if vec.domain() == DataDomain.TIME else 1,
+                            vec.delta(), inter)
+
+
+def get_interleaved(vec: DspVector) -> np.ndarray:
+    return np.ascontiguousarray(vec.interleaved(), dtype=np.float64)
+
+
+def call(vec: DspVector, method: str, *args) -> Tuple[int, Any]:
+    """Executes ``vec.method(*args)``; returns (result_code, result).
+
+    result_code 0 = ok; >0 = error per the reference code table; the
+    result is the (possibly invalidated) vector so storage handles stay
+    usable, mirroring TransRes (vector_types/mod.rs:44-48).
+    """
+    try:
+        result = getattr(vec, method)(*args)
+    except DspError as e:
+        return _ERROR_CODES.get(e.reason, -1), vec
+    except Exception:
+        return -1, vec
+    if isinstance(result, DspVector) and result.is_erroneous():
+        return -1, result
+    return 0, result

@@ -155,26 +155,30 @@ def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
     start, length, c = _clip_kernel(n, m)
     h_eff = h[..., start:start + length]
     m_eff = length
-    assert n % 128 == 0, "toeplitz_conv requires n % 128 == 0"
     q = h_eff[..., ::-1]  # taps over forward offsets e = 0..m_eff-1
     dtype = jnp.result_type(x.dtype, q.dtype)
     # z[i] = x[i - (m_eff - c)] so that out[i] = sum_e z[i+e] q[e].
     z = jnp.roll(x, m_eff - c, axis=-1).astype(dtype)
-    R = n // 128
+    R = -(-n // 128)
     n_shifts = -(-(m_eff + 127) // 128)  # row shifts needed: e up to m_eff-1
+    # Wrapped extension supplies both the circular boundary and the row
+    # shifts via plain slicing (tile + slice — no gathers).
+    need = R * 128 + 128 * n_shifts
+    reps = -(-need // n)
+    ext = jnp.tile(z, [1] * (z.ndim - 1) + [reps + 1])[..., :need]
     # Tap matrices: T_a[j, col] = q[128*a + j - col] where defined.
     j = np.arange(128)[:, None]
     col = np.arange(128)[None, :]
-    out = jnp.zeros_like(z)
-    zr = z.reshape(z.shape[:-1] + (R, 128))
+    out = jnp.zeros(z.shape[:-1] + (R * 128,), dtype=dtype)
     for a in range(n_shifts):
         e = 128 * a + j - col
         mask = (e >= 0) & (e < m_eff)
         idx = np.where(mask, e, 0)
         Ta = jnp.where(jnp.asarray(mask), q[..., idx], 0).astype(dtype)
-        block = jnp.roll(z, -128 * a, axis=-1).reshape(
+        block = ext[..., 128 * a: 128 * a + R * 128].reshape(
             z.shape[:-1] + (R, 128))
-        out = out + jnp.matmul(block, Ta).reshape(z.shape)
+        out = out + jnp.matmul(block, Ta).reshape(out.shape)
+    out = out[..., :n]
     return out if is_complex else jnp.real(out).astype(x.dtype)
 
 
@@ -197,11 +201,15 @@ def pick_fft_len(imp_len: int, requested: int = 0) -> int:
 def convolve_signal(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
                     cfg=None) -> jnp.ndarray:
     """Dispatch mirroring the reference thresholds (convolution.rs:477-542)
-    onto the two TPU paths."""
+    onto the TPU paths: the reference's SIMD gate (len>1000, imp<=202)
+    routes to the MXU Toeplitz-matmul path, the overlap-discard gate to the
+    blocked-FFT pipeline, everything else to a whole-signal FFT."""
     from .. import config as _config
     cfg = cfg or _config.default_config()
     n = x.shape[-1]
     m = h.shape[-1]
+    if n > cfg.direct_conv_min_len and m <= cfg.direct_conv_max_imp_len:
+        return toeplitz_conv(x, h, is_complex)
     if (n > cfg.overlap_save_min_len and m > cfg.overlap_save_min_imp_len
             and n > cfg.overlap_save_len_ratio * m):
         return overlap_save(x, h, is_complex,

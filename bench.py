@@ -47,7 +47,8 @@ def main():
         taps = taps_re.astype(jnp.complex64)
 
         def body(_, carry):
-            filtered = conv_ops.overlap_save(carry, taps, True, fft_len)
+            # Dispatcher routes m=128 to the MXU Toeplitz-matmul path.
+            filtered = conv_ops.convolve_signal(carry, taps, True)
             spectrum = fft_ops.fft_shifted(filtered
                                            * window.astype(filtered.dtype))
             # Feed the result back so XLA cannot hoist the chain out of the

@@ -1,0 +1,185 @@
+/* C ABI for the basic_dsp_tpu framework.
+ *
+ * The TPU-native analog of the reference interop crate
+ * (basic_dsp_interop facade32.rs/facade64.rs): an opaque vector handle, a
+ * {result_code, vector} return struct, and per-precision entry points.
+ * Error codes follow reference interop/src/lib.rs:107-141:
+ *   0 ok; -1 unspecified/erroneous; 1..14 = ErrorReason enum order.
+ *
+ * Call bdsp_init() once before anything else (it attaches to or boots a
+ * CPython runtime hosting the JAX/XLA compute path).  All handles must be
+ * released with delete_vector32/64.
+ */
+#ifndef BASIC_DSP_TPU_H
+#define BASIC_DSP_TPU_H
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct DspVec DspVec; /* opaque vector handle */
+
+typedef struct {
+  int32_t result_code;
+  DspVec *vector;
+} VectorResult;
+
+typedef struct {
+  int32_t result_code;
+  double result;
+} ScalarResult;
+
+typedef struct {
+  int32_t result_code;
+  double real;
+  double imag;
+} ComplexResult;
+
+typedef struct {
+  double sum;
+  uint64_t count;
+  double average;
+  double rms;
+  double min;
+  uint64_t min_index;
+  double max;
+  uint64_t max_index;
+} RealStatistics;
+
+/* Runtime ------------------------------------------------------------- */
+int32_t bdsp_init(void);
+const char *bdsp_last_error(void);
+
+/* Per-precision surface.  X = 32 or 64. ------------------------------- */
+#define BDSP_DECLARE(X, REAL)                                                  \
+  DspVec *new##X(int32_t is_complex, int32_t domain, REAL init_value,          \
+                 size_t length, REAL delta);                                   \
+  DspVec *from_data##X(int32_t is_complex, int32_t domain, REAL delta,         \
+                       const REAL *data, size_t length);                       \
+  void delete_vector##X(DspVec *vector);                                       \
+  DspVec *clone##X(DspVec *vector);                                            \
+  REAL get_value##X(DspVec *vector, size_t index);                             \
+  VectorResult set_value##X(DspVec *vector, size_t index, REAL value);         \
+  int32_t is_complex##X(DspVec *vector);                                       \
+  int32_t get_domain##X(DspVec *vector); /* 0 time, 1 freq */                  \
+  REAL get_delta##X(DspVec *vector);                                           \
+  size_t get_points##X(DspVec *vector);                                        \
+  size_t get_len##X(DspVec *vector);                                           \
+  int32_t is_erroneous##X(DspVec *vector);                                     \
+  int32_t get_data##X(DspVec *vector, REAL *out, size_t capacity);             \
+  /* elementary */                                                             \
+  VectorResult add##X(DspVec *a, DspVec *b);                                   \
+  VectorResult sub##X(DspVec *a, DspVec *b);                                   \
+  VectorResult mul##X(DspVec *a, DspVec *b);                                   \
+  VectorResult div##X(DspVec *a, DspVec *b);                                   \
+  VectorResult add_smaller##X(DspVec *a, DspVec *b);                           \
+  VectorResult sub_smaller##X(DspVec *a, DspVec *b);                           \
+  VectorResult mul_smaller##X(DspVec *a, DspVec *b);                           \
+  VectorResult div_smaller##X(DspVec *a, DspVec *b);                           \
+  VectorResult real_scale##X(DspVec *v, REAL value);                           \
+  VectorResult real_offset##X(DspVec *v, REAL value);                          \
+  VectorResult complex_scale##X(DspVec *v, REAL re, REAL im);                  \
+  VectorResult complex_offset##X(DspVec *v, REAL re, REAL im);                 \
+  /* trig & powers */                                                          \
+  VectorResult sin##X(DspVec *v);                                              \
+  VectorResult cos##X(DspVec *v);                                              \
+  VectorResult tan##X(DspVec *v);                                              \
+  VectorResult asin##X(DspVec *v);                                             \
+  VectorResult acos##X(DspVec *v);                                             \
+  VectorResult atan##X(DspVec *v);                                             \
+  VectorResult sinh##X(DspVec *v);                                             \
+  VectorResult cosh##X(DspVec *v);                                             \
+  VectorResult tanh##X(DspVec *v);                                             \
+  VectorResult asinh##X(DspVec *v);                                            \
+  VectorResult acosh##X(DspVec *v);                                            \
+  VectorResult atanh##X(DspVec *v);                                            \
+  VectorResult sqrt##X(DspVec *v);                                             \
+  VectorResult square##X(DspVec *v);                                           \
+  VectorResult ln##X(DspVec *v);                                               \
+  VectorResult exp##X(DspVec *v);                                              \
+  VectorResult root##X(DspVec *v, REAL degree);                                \
+  VectorResult real_powf##X(DspVec *v, REAL exponent);                              \
+  VectorResult log##X(DspVec *v, REAL base);                                   \
+  VectorResult real_expf##X(DspVec *v, REAL base);                                  \
+  /* real ops */                                                               \
+  VectorResult abs##X(DspVec *v);                                              \
+  VectorResult wrap##X(DspVec *v, REAL divisor);                               \
+  VectorResult unwrap##X(DspVec *v, REAL divisor);                             \
+  /* complex ops */                                                            \
+  VectorResult to_complex##X(DspVec *v);                                       \
+  VectorResult magnitude##X(DspVec *v);                                        \
+  VectorResult magnitude_squared##X(DspVec *v);                                \
+  VectorResult to_real##X(DspVec *v);                                          \
+  VectorResult to_imag##X(DspVec *v);                                          \
+  VectorResult phase##X(DspVec *v);                                            \
+  VectorResult conj##X(DspVec *v);                                             \
+  VectorResult multiply_complex_exponential##X(DspVec *v, REAL a, REAL b);     \
+  /* reorganization */                                                         \
+  VectorResult reverse##X(DspVec *v);                                          \
+  VectorResult swap_halves##X(DspVec *v);                                      \
+  VectorResult zero_pad##X(DspVec *v, size_t points, int32_t option);          \
+  VectorResult zero_interleave##X(DspVec *v, int32_t factor);                  \
+  VectorResult resize##X(DspVec *v, size_t points);                            \
+  VectorResult diff##X(DspVec *v);                                             \
+  VectorResult diff_with_start##X(DspVec *v);                                  \
+  VectorResult cum_sum##X(DspVec *v);                                          \
+  /* reductions */                                                             \
+  ScalarResult real_sum##X(DspVec *v);                                         \
+  ScalarResult real_sum_sq##X(DspVec *v);                                      \
+  ScalarResult real_sum_prec##X(DspVec *v);                                    \
+  ComplexResult complex_sum##X(DspVec *v);                                     \
+  ComplexResult complex_sum_sq##X(DspVec *v);                                  \
+  ScalarResult real_dot_product##X(DspVec *a, DspVec *b);                      \
+  ComplexResult complex_dot_product##X(DspVec *a, DspVec *b);                  \
+  int32_t real_statistics##X(DspVec *v, RealStatistics *out);                  \
+  /* time <-> frequency */                                                     \
+  VectorResult plain_fft##X(DspVec *v);                                        \
+  VectorResult fft##X(DspVec *v);                                              \
+  VectorResult windowed_fft##X(DspVec *v, int32_t window_id);                  \
+  VectorResult plain_sfft##X(DspVec *v);                                       \
+  VectorResult sfft##X(DspVec *v);                                             \
+  VectorResult plain_ifft##X(DspVec *v);                                       \
+  VectorResult ifft##X(DspVec *v);                                             \
+  VectorResult windowed_ifft##X(DspVec *v, int32_t window_id);                 \
+  VectorResult plain_sifft##X(DspVec *v);                                      \
+  VectorResult sifft##X(DspVec *v);                                            \
+  VectorResult mirror##X(DspVec *v);                                           \
+  VectorResult fft_shift##X(DspVec *v);                                        \
+  VectorResult ifft_shift##X(DspVec *v);                                       \
+  VectorResult apply_window##X(DspVec *v, int32_t window_id);                  \
+  VectorResult unapply_window##X(DspVec *v, int32_t window_id);                \
+  /* convolution & correlation */                                              \
+  VectorResult convolve_signal##X(DspVec *v, DspVec *impulse_response);        \
+  VectorResult convolve_real##X(DspVec *v, int32_t function_id, REAL rolloff, \
+                                REAL ratio, size_t length);                    \
+  VectorResult multiply_frequency_response_real##X(                            \
+      DspVec *v, int32_t function_id, REAL rolloff, REAL ratio);               \
+  VectorResult prepare_argument_padded##X(DspVec *v);                          \
+  VectorResult correlate##X(DspVec *v, DspVec *prepared);                      \
+  /* interpolation */                                                          \
+  VectorResult interpolatef##X(DspVec *v, int32_t function_id, REAL rolloff,   \
+                               REAL interpolation_factor, REAL delay,          \
+                               size_t conv_len);                               \
+  VectorResult interpolatei##X(DspVec *v, int32_t function_id, REAL rolloff,   \
+                               int32_t interpolation_factor);                  \
+  VectorResult interpolate##X(DspVec *v, int32_t function_id, REAL rolloff,    \
+                              size_t target_points, REAL delay);               \
+  VectorResult interpft##X(DspVec *v, size_t target_points);                   \
+  VectorResult decimatei##X(DspVec *v, int32_t decimation_factor,              \
+                            int32_t delay);                                    \
+  VectorResult interpolate_lin##X(DspVec *v, REAL factor, REAL delay);         \
+  VectorResult interpolate_hermite##X(DspVec *v, REAL factor, REAL delay);
+
+BDSP_DECLARE(32, float)
+BDSP_DECLARE(64, double)
+
+#undef BDSP_DECLARE
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* BASIC_DSP_TPU_H */

@@ -181,7 +181,8 @@ def test_real_convolve_signal():
 def test_toeplitz_conv_matches_fft():
     """The MXU Toeplitz-matmul direct path must equal the spectral path."""
     import jax.numpy as jnp
-    for n, m in [(256, 3), (512, 64), (1024, 129), (1280, 202)]:
+    for n, m in [(256, 3), (512, 64), (1024, 129), (1280, 202),
+                 (1000, 17), (333, 31), (5000, 202)]:
         x = create_complex_data(n, n)
         h = create_complex_data(m, m)
         direct = conv_ops.convolve_signal_fft(jnp.asarray(x), jnp.asarray(h),

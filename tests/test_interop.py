@@ -1,0 +1,199 @@
+"""C ABI interop tests — drives libbasic_dsp_tpu.so via ctypes, mirroring
+the reference's ctypes consumer (examples/basic_dsp_example.py) and its
+error-code contract (interop/src/lib.rs:107-141)."""
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+LIB = os.path.join(REPO, "interop", "build", "libbasic_dsp_tpu.so")
+
+
+class VectorResult(ctypes.Structure):
+    _fields_ = [("result_code", ctypes.c_int32),
+                ("vector", ctypes.c_void_p)]
+
+
+class ScalarResult(ctypes.Structure):
+    _fields_ = [("result_code", ctypes.c_int32),
+                ("result", ctypes.c_double)]
+
+
+class ComplexResult(ctypes.Structure):
+    _fields_ = [("result_code", ctypes.c_int32),
+                ("real", ctypes.c_double),
+                ("imag", ctypes.c_double)]
+
+
+class RealStatistics(ctypes.Structure):
+    _fields_ = [("sum", ctypes.c_double), ("count", ctypes.c_uint64),
+                ("average", ctypes.c_double), ("rms", ctypes.c_double),
+                ("min", ctypes.c_double), ("min_index", ctypes.c_uint64),
+                ("max", ctypes.c_double), ("max_index", ctypes.c_uint64)]
+
+
+def _build_if_needed():
+    if os.path.exists(LIB):
+        return True
+    build = os.path.join(REPO, "interop", "build")
+    os.makedirs(build, exist_ok=True)
+    try:
+        subprocess.run(["cmake", "-G", "Ninja", ".."], cwd=build, check=True,
+                       capture_output=True)
+        subprocess.run(["ninja"], cwd=build, check=True, capture_output=True)
+    except Exception:
+        return False
+    return os.path.exists(LIB)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not _build_if_needed():
+        pytest.skip("interop library not built and cmake/ninja unavailable")
+    lib = ctypes.CDLL(LIB)
+    lib.bdsp_init.restype = ctypes.c_int32
+    assert lib.bdsp_init() == 0, "bdsp_init failed"
+
+    lib.new64.restype = ctypes.c_void_p
+    lib.new64.argtypes = [ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+                          ctypes.c_size_t, ctypes.c_double]
+    lib.from_data64.restype = ctypes.c_void_p
+    lib.from_data64.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                                ctypes.c_double,
+                                ctypes.POINTER(ctypes.c_double),
+                                ctypes.c_size_t]
+    lib.get_value64.restype = ctypes.c_double
+    lib.get_value64.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    lib.get_points64.restype = ctypes.c_size_t
+    lib.get_points64.argtypes = [ctypes.c_void_p]
+    lib.get_delta64.restype = ctypes.c_double
+    lib.get_delta64.argtypes = [ctypes.c_void_p]
+    lib.is_complex64.restype = ctypes.c_int32
+    lib.is_complex64.argtypes = [ctypes.c_void_p]
+    lib.get_data64.restype = ctypes.c_int32
+    lib.get_data64.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_double),
+                               ctypes.c_size_t]
+    for name in ["real_offset64", "real_scale64", "sin64", "fft64", "ifft64",
+                 "to_complex64", "magnitude64", "abs64"]:
+        fn = getattr(lib, name)
+        fn.restype = VectorResult
+    lib.real_offset64.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.real_scale64.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.sin64.argtypes = [ctypes.c_void_p]
+    lib.fft64.argtypes = [ctypes.c_void_p]
+    lib.ifft64.argtypes = [ctypes.c_void_p]
+    lib.to_complex64.argtypes = [ctypes.c_void_p]
+    lib.magnitude64.argtypes = [ctypes.c_void_p]
+    lib.abs64.argtypes = [ctypes.c_void_p]
+    lib.add64.restype = VectorResult
+    lib.add64.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.convolve_signal64.restype = VectorResult
+    lib.convolve_signal64.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.real_sum64.restype = ScalarResult
+    lib.real_sum64.argtypes = [ctypes.c_void_p]
+    lib.real_statistics64.restype = ctypes.c_int32
+    lib.real_statistics64.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(RealStatistics)]
+    lib.delete_vector64.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def make_vec(lib, data, is_complex=0, domain=0, delta=1.0):
+    arr = np.ascontiguousarray(data, dtype=np.float64)
+    ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    return lib.from_data64(is_complex, domain, delta, ptr, arr.size)
+
+
+def read_vec(lib, handle, n):
+    out = np.zeros(n, dtype=np.float64)
+    got = lib.get_data64(handle, out.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_double)), n)
+    return out[:got]
+
+
+def test_new_offset_reference_example(lib):
+    """Mirrors examples/basic_dsp_example.py: new + repeated offset."""
+    vec = lib.new64(0, 0, 0.0, 1000, 1.0)
+    assert lib.get_value64(vec, 0) == 0.0
+    for _ in range(5):
+        res = lib.real_offset64(vec, 5.0)
+        assert res.result_code == 0
+        vec = res.vector
+    assert lib.get_value64(vec, 0) == 25.0
+    lib.delete_vector64(vec)
+
+
+def test_sin_and_sum(lib):
+    vec = make_vec(lib, [0.0, np.pi / 2, np.pi])
+    res = lib.sin64(vec)
+    assert res.result_code == 0
+    data = read_vec(lib, res.vector, 3)
+    np.testing.assert_allclose(data, [0.0, 1.0, 0.0], atol=1e-12)
+    s = lib.real_sum64(res.vector)
+    assert s.result_code == 0
+    assert abs(s.result - 1.0) < 1e-12
+    lib.delete_vector64(res.vector)
+
+
+def test_fft_roundtrip(lib):
+    rng = np.random.default_rng(0)
+    inter = rng.normal(size=32)  # 16 complex points interleaved
+    vec = make_vec(lib, inter, is_complex=1)
+    assert lib.is_complex64(vec) == 1
+    assert lib.get_points64(vec) == 16
+    res = lib.fft64(vec)
+    assert res.result_code == 0
+    res = lib.ifft64(res.vector)
+    assert res.result_code == 0
+    back = read_vec(lib, res.vector, 32)
+    np.testing.assert_allclose(back, inter, atol=1e-9)
+    lib.delete_vector64(res.vector)
+
+
+def test_error_code_on_wrong_flavor(lib):
+    # The C ABI operates on runtime-typed (Gen) vectors; wrong-flavor ops
+    # follow the erroneous-marker protocol and report -1, matching the
+    # reference's get_error_marker (interop/src/lib.rs:144-151).
+    vec = make_vec(lib, [1.0, 2.0])
+    res = lib.magnitude64(vec)
+    assert res.result_code == -1
+    lib.delete_vector64(res.vector)
+
+
+def test_add_and_statistics(lib):
+    a = make_vec(lib, [1.0, 2.0, 3.0])
+    b = make_vec(lib, [10.0, 20.0, 30.0])
+    res = lib.add64(a, b)
+    assert res.result_code == 0
+    np.testing.assert_allclose(read_vec(lib, res.vector, 3),
+                               [11.0, 22.0, 33.0])
+    stats = RealStatistics()
+    assert lib.real_statistics64(res.vector, ctypes.byref(stats)) == 0
+    assert stats.sum == 66.0
+    assert stats.count == 3
+    assert stats.max == 33.0 and stats.max_index == 2
+    lib.delete_vector64(res.vector)
+    lib.delete_vector64(b)
+
+
+def test_convolution_via_c_abi(lib):
+    x = np.arange(10.0)
+    inter_x = np.zeros(20)
+    inter_x[0::2] = x
+    h = np.zeros(6)
+    h[4] = 1.0  # complex kernel [0, 0, 1] interleaved
+    a = make_vec(lib, inter_x, is_complex=1)
+    b = make_vec(lib, h, is_complex=1)
+    res = lib.convolve_signal64(a, b)
+    assert res.result_code == 0
+    mag = lib.magnitude64(res.vector)
+    assert mag.result_code == 0
+    out = read_vec(lib, mag.vector, 10)
+    np.testing.assert_allclose(out, [9, 0, 1, 2, 3, 4, 5, 6, 7, 8],
+                               atol=1e-6)
+    lib.delete_vector64(mag.vector)
+    lib.delete_vector64(b)
