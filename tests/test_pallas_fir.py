@@ -1,0 +1,33 @@
+"""Pallas FIR kernel (interpret mode on CPU) vs the spectral reference."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basic_dsp_tpu.kernels import fir_pallas
+from basic_dsp_tpu.ops import conv_ops
+from tools import assert_vector_eq, create_complex_data, create_data
+
+
+@pytest.mark.parametrize("n,m", [(1024, 17), (4096, 128), (2000, 64),
+                                 (8192, 202)])
+def test_pallas_fir_real(n, m):
+    x = create_data(n, n, dtype=np.float32)
+    h = create_data(m, m, dtype=np.float32) / m
+    expected = conv_ops.convolve_signal_fft(jnp.asarray(x), jnp.asarray(h),
+                                            False)
+    out = fir_pallas.fir_conv(jnp.asarray(x), jnp.asarray(h), False,
+                              tile_rows=8, interpret=True)
+    assert_vector_eq(np.asarray(out), np.asarray(expected), tol=2e-2,
+                     msg=f"n={n} m={m}")
+
+
+@pytest.mark.parametrize("n,m", [(1024, 31), (4096, 128)])
+def test_pallas_fir_complex(n, m):
+    x = create_complex_data(n, n, dtype=np.complex64)
+    h = create_complex_data(m, m, dtype=np.complex64) / m
+    expected = conv_ops.convolve_signal_fft(jnp.asarray(x), jnp.asarray(h),
+                                            True)
+    out = fir_pallas.fir_conv(jnp.asarray(x), jnp.asarray(h), True,
+                              tile_rows=8, interpret=True)
+    assert_vector_eq(np.asarray(out), np.asarray(expected), tol=2e-2,
+                     msg=f"n={n} m={m}")
