@@ -49,11 +49,16 @@ from .vector import (
     interleave_to_complex_freq_vec,
     interleave_to_complex_time_vec,
     to_complex_freq_vec,
+    to_complex_freq_vec_par,
     to_complex_time_vec,
+    to_complex_time_vec_par,
     to_gen_dsp_vec,
     to_real_freq_vec,
+    to_real_freq_vec_par,
     to_real_time_vec,
+    to_real_time_vec_par,
 )
+from . import autotune
 from .windows import (
     BlackmanHarrisWindow,
     HammingWindow,

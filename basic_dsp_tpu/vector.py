@@ -746,6 +746,21 @@ class DspVector:
                                        self.is_complex(), cfg)
         return self._make(out)
 
+    def overlap_discard(self, impulse_response: "DspVector",
+                        fft_len: int = 0) -> "DspVector":
+        """Blocked-FFT evaluation of ``convolve_signal`` with an explicit
+        block length (reference overlap_discard, convolution.rs:304-462).
+        ``fft_len`` of 0 picks the tuned default."""
+        bad = (self._binary_check(impulse_response, same_size=False)
+               or self._check(domain=DataDomain.TIME)
+               or self._check(complex_=True))
+        if bad is not None:
+            return bad
+        m = impulse_response.points()
+        out = conv_ops.overlap_save(self._data, impulse_response._data,
+                                    True, conv_ops.pick_fft_len(m, fft_len))
+        return self._make(out)
+
     def convolve(self, function, ratio: float, length: int) -> "DspVector":
         """Convolve against an analytic impulse response
         (reference convolution.rs:126-254)."""
@@ -936,6 +951,32 @@ def to_gen_dsp_vec(data, is_complex: bool,
         return GenDspVector(_from_interleaved_complex(data), delta, domain,
                             NumberSpace.COMPLEX)
     return GenDspVector(jnp.asarray(data), delta, domain, NumberSpace.REAL)
+
+
+def _shard(v: DspVector, mesh) -> DspVector:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+    data = jax.device_put(v.array, NamedSharding(mesh, P(axis)))
+    return v._make(data)
+
+
+def to_real_time_vec_par(data, mesh, delta: float = 1.0) -> RealTimeVector:
+    """Mesh-sharded constructor — the analog of the reference's ``*_par``
+    constructors (support_std_par.rs:19-65): data lands sharded over the
+    mesh's first axis so subsequent jit ops execute multi-chip."""
+    return _shard(to_real_time_vec(data, delta), mesh)
+
+
+def to_complex_time_vec_par(data, mesh, delta: float = 1.0) -> ComplexTimeVector:
+    return _shard(to_complex_time_vec(data, delta), mesh)
+
+
+def to_real_freq_vec_par(data, mesh, delta: float = 1.0) -> RealFreqVector:
+    return _shard(to_real_freq_vec(data, delta), mesh)
+
+
+def to_complex_freq_vec_par(data, mesh, delta: float = 1.0) -> ComplexFreqVector:
+    return _shard(to_complex_freq_vec(data, delta), mesh)
 
 
 def interleave_to_complex_time_vec(real, imag,

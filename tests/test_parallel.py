@@ -110,3 +110,33 @@ def test_fm_demod_recovers_tone():
     x = np.exp(1j * phase)
     demod = np.asarray(channelizer.fm_demodulate(jnp.asarray(x)))
     assert np.allclose(demod[1:], 2 * np.pi * f, atol=1e-5)
+
+
+def test_par_constructors(mesh):
+    data = create_data(5, 1024)
+    v = bd.to_real_time_vec_par(data, mesh)
+    assert v.points() == 1024
+    # Sharded data still computes correctly through the normal API.
+    assert abs(v.sum() - data.sum()) < 1e-6
+    out = v.scale(2.0)
+    assert_vector_eq(np.asarray(out.array), data * 2.0, tol=1e-12)
+
+
+def test_overlap_discard_method(mesh):
+    x = create_complex_data(1, 4096)
+    h = create_complex_data(2, 33)
+    a = bd.to_complex_time_vec(x)
+    b = bd.to_complex_time_vec(h)
+    out = a.overlap_discard(b)
+    expected = a.convolve_signal(b)
+    assert_vector_eq(np.asarray(out.array), np.asarray(expected.array),
+                     tol=1e-6)
+
+
+def test_autotune_calibrate_small(mesh):
+    from basic_dsp_tpu import autotune
+    best = autotune.calibrate(n=1 << 12, m=16, candidates=(64, 128, 256),
+                              iters=2)
+    assert best in (64, 128, 256)
+    report = autotune.print_calibration()
+    assert "chosen" in report
