@@ -52,6 +52,113 @@ def _complex_dtype_for(real_dtype) -> jnp.dtype:
     return jnp.result_type(real_dtype, jnp.complex64)
 
 
+# ----------------------------------------------------------------------
+# Module-level op functions + jit caches.  Ops run under jit even from the
+# "eager" vector API: some TPU runtimes only implement complex dtypes
+# inside compiled computations, and jit also fuses and caches per shape.
+# Functions must be module-level so the lru_cache keys stay stable.
+# ----------------------------------------------------------------------
+import functools as _functools
+import operator as _operator
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_unary(fn):
+    return jax.jit(fn)
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_unary_arg(fn):
+    return jax.jit(fn)
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_binary(fn):
+    return jax.jit(fn)
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_unary_static(fn):
+    return jax.jit(fn, static_argnums=(1,))
+
+
+def _square(x):
+    return x * x
+
+
+def _root(x, degree):
+    return x ** (1.0 / degree)
+
+
+def _powf(x, exponent):
+    return x ** exponent
+
+
+def _logbase(x, base):
+    return jnp.log(x) / jnp.log(base)
+
+
+def _expf(x, base):
+    return base ** x
+
+
+def _fmod(x, divisor):
+    return jnp.fmod(x, divisor)
+
+
+def _unwrap(x, divisor):
+    d = jnp.diff(x)
+    jumps = jnp.round(d / divisor)
+    corr = jnp.cumsum(-jumps * divisor)
+    return jnp.concatenate([x[..., :1], x[..., 1:] + corr], axis=-1)
+
+
+def _mag_sq(x):
+    return jnp.real(x) ** 2 + jnp.imag(x) ** 2
+
+
+def _scale(x, factor):
+    return x * factor
+
+
+def _offset(x, off):
+    return x + off
+
+
+def _diff_with_start(x):
+    return jnp.concatenate([x[..., :1], jnp.diff(x, axis=-1)], axis=-1)
+
+
+def _diff(x):
+    return jnp.diff(x, axis=-1)
+
+
+def _cumsum(x):
+    return jnp.cumsum(x, axis=-1)
+
+
+def _combine_real_imag(re, im):
+    cdtype = _complex_dtype_for(re.dtype)
+    return re.astype(cdtype) + 1j * im.astype(cdtype)
+
+
+def _combine_mag_phase(mag, phase):
+    cdtype = _complex_dtype_for(mag.dtype)
+    return mag.astype(cdtype) * jnp.exp(1j * phase.astype(cdtype))
+
+
+def _window_mul(x, w):
+    return x * w.astype(x.dtype)
+
+
+def _astype(x, dtype_name):
+    return x.astype(dtype_name)
+
+
+def _window_div(x, w):
+    return x / w.astype(x.dtype)
+
+
 class DspVector:
     """Base class holding data + metadata.  See module docstring."""
 
@@ -207,16 +314,20 @@ class DspVector:
     # Elementary ops (reference general/elementary.rs)
     # ------------------------------------------------------------------
     def add(self, other: "DspVector") -> "DspVector":
-        return self._binary_check(other) or self._make(self._data + other._data)
+        return self._binary_check(other) or self._make(
+            _jit_binary(_operator.add)(self._data, other._data))
 
     def sub(self, other: "DspVector") -> "DspVector":
-        return self._binary_check(other) or self._make(self._data - other._data)
+        return self._binary_check(other) or self._make(
+            _jit_binary(_operator.sub)(self._data, other._data))
 
     def mul(self, other: "DspVector") -> "DspVector":
-        return self._binary_check(other) or self._make(self._data * other._data)
+        return self._binary_check(other) or self._make(
+            _jit_binary(_operator.mul)(self._data, other._data))
 
     def div(self, other: "DspVector") -> "DspVector":
-        return self._binary_check(other) or self._make(self._data / other._data)
+        return self._binary_check(other) or self._make(
+            _jit_binary(_operator.truediv)(self._data, other._data))
 
     def _smaller_op(self, other: "DspVector", op) -> "DspVector":
         bad = self._binary_check(other, same_size=False)
@@ -244,18 +355,27 @@ class DspVector:
     def scale(self, factor) -> "DspVector":
         if isinstance(factor, complex) and not self.is_complex():
             return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
-        return self._make(self._data * factor)
+        return self._map_arg(_scale, factor)
 
     def offset(self, offset) -> "DspVector":
         if isinstance(offset, complex) and not self.is_complex():
             return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
-        return self._make(self._data + offset)
+        return self._map_arg(_offset, offset)
 
     # ------------------------------------------------------------------
     # Trigonometry & powers (reference general/trigonometry_and_powers.rs)
     # ------------------------------------------------------------------
     def _map(self, fn) -> "DspVector":
-        return self._make(fn(self._data))
+        """Applies a *registered* (stably-identified) function under jit.
+
+        Ops go through jit even in "eager" API usage: some TPU runtimes
+        (axon) only implement complex dtypes inside compiled computations.
+        ``fn`` must be a module-level function so the jit cache hits.
+        """
+        return self._make(_jit_unary(fn)(self._data))
+
+    def _map_arg(self, fn, arg) -> "DspVector":
+        return self._make(_jit_unary_arg(fn)(self._data, arg))
 
     def sin(self): return self._map(jnp.sin)
     def cos(self): return self._map(jnp.cos)
@@ -270,21 +390,21 @@ class DspVector:
     def acosh(self): return self._map(jnp.arccosh)
     def atanh(self): return self._map(jnp.arctanh)
     def sqrt(self): return self._map(jnp.sqrt)
-    def square(self): return self._map(lambda x: x * x)
+    def square(self): return self._map(_square)
     def ln(self): return self._map(jnp.log)
     def exp(self): return self._map(jnp.exp)
 
     def root(self, degree):
-        return self._map(lambda x: x ** (1.0 / degree))
+        return self._map_arg(_root, degree)
 
     def powf(self, exponent):
-        return self._map(lambda x: x ** exponent)
+        return self._map_arg(_powf, exponent)
 
     def log(self, base):
-        return self._map(lambda x: jnp.log(x) / math.log(base))
+        return self._map_arg(_logbase, base)
 
     def expf(self, base):
-        return self._map(lambda x: base ** x)
+        return self._map_arg(_expf, base)
 
     # Approximated ops (reference real/real_ops.rs:86-224).  XLA already
     # emits fast vectorized transcendentals; the reduced-precision contract
@@ -325,7 +445,7 @@ class DspVector:
         bad = self._check(complex_=False)
         if bad is not None:
             return bad
-        return self._map(lambda x: jnp.fmod(x, divisor))
+        return self._map_arg(_fmod, divisor)
 
     def unwrap(self, divisor: float) -> "DspVector":
         """Inverse of wrap: corrects jumps larger than half the divisor
@@ -333,11 +453,7 @@ class DspVector:
         bad = self._check(complex_=False)
         if bad is not None:
             return bad
-        x = self._data
-        d = jnp.diff(x)
-        jumps = jnp.round(d / divisor)
-        corr = jnp.cumsum(-jumps * divisor)
-        return self._make(jnp.concatenate([x[:1], x[1:] + corr]))
+        return self._map_arg(_unwrap, divisor)
 
     # ------------------------------------------------------------------
     # Complex ops (reference complex/complex_ops.rs, complex_to_real.rs,
@@ -363,13 +479,13 @@ class DspVector:
         if bad is not None:
             return bad._retag(NumberSpace.REAL) \
                 if bad._is_gen() else bad
-        return self._make(fn(self._data), space=NumberSpace.REAL)
+        return self._make(_jit_unary(fn)(self._data), space=NumberSpace.REAL)
 
     def magnitude(self) -> "DspVector":
         return self._to_real_flavor(jnp.abs)
 
     def magnitude_squared(self) -> "DspVector":
-        return self._to_real_flavor(lambda x: jnp.real(x) ** 2 + jnp.imag(x) ** 2)
+        return self._to_real_flavor(_mag_sq)
 
     def to_real(self) -> "DspVector":
         return self._to_real_flavor(jnp.real)
@@ -402,9 +518,8 @@ class DspVector:
             return bad
         if real.points() != imag.points():
             return self._invalid(ErrorReason.INPUT_MUST_HAVE_THE_SAME_SIZE)
-        cdtype = _complex_dtype_for(real._data.dtype)
-        return self._make(real._data.astype(cdtype)
-                          + 1j * imag._data.astype(cdtype))
+        return self._make(
+            _jit_binary(_combine_real_imag)(real._data, imag._data))
 
     def set_mag_phase(self, mag: "DspVector", phase: "DspVector") -> "DspVector":
         bad = self._check(complex_=True)
@@ -424,8 +539,9 @@ class DspVector:
             return bad._retag(NumberSpace.COMPLEX) \
                 if bad._is_gen() else bad
         cdtype = _complex_dtype_for(self._data.dtype)
-        return self._make(self._data.astype(cdtype),
-                          space=NumberSpace.COMPLEX)
+        return self._make(
+            _jit_unary_static(_astype)(self._data, jnp.dtype(cdtype).name),
+            space=NumberSpace.COMPLEX)
 
     # ------------------------------------------------------------------
     # Data reorganization (reference general/data_reorganization.rs)
@@ -472,14 +588,13 @@ class DspVector:
     # Diff / cumsum (reference general/diff_sum.rs)
     # ------------------------------------------------------------------
     def diff(self) -> "DspVector":
-        return self._make(jnp.diff(self._data))
+        return self._map(_diff)
 
     def diff_with_start(self) -> "DspVector":
-        return self._make(jnp.concatenate([self._data[:1],
-                                           jnp.diff(self._data)]))
+        return self._map(_diff_with_start)
 
     def cum_sum(self) -> "DspVector":
-        return self._make(jnp.cumsum(self._data))
+        return self._map(_cumsum)
 
     # ------------------------------------------------------------------
     # Statistics & reductions (reference general/statistics.rs,
@@ -582,7 +697,7 @@ class DspVector:
             return bad._retag(NumberSpace.COMPLEX, DataDomain.FREQUENCY) \
                 if bad._is_gen() else bad
         work = self if self.is_complex() else self.to_complex()
-        return self._make(fft_ops.plain_fft(work._data),
+        return self._make(_jit_unary(fft_ops.plain_fft)(work._data),
                           delta=work._fft_delta(),
                           domain=DataDomain.FREQUENCY,
                           space=NumberSpace.COMPLEX)
@@ -655,7 +770,7 @@ class DspVector:
             return bad._retag(NumberSpace.COMPLEX, DataDomain.TIME) \
                 if bad._is_gen() else bad
         work = self if self.is_complex() else self.to_complex()
-        return self._make(fft_ops.plain_ifft(work._data),
+        return self._make(_jit_unary(fft_ops.plain_ifft)(work._data),
                           delta=work._fft_delta(),
                           domain=DataDomain.TIME, space=NumberSpace.COMPLEX)
 
@@ -713,21 +828,21 @@ class DspVector:
                or self._check(complex_=True))
         if bad is not None:
             return bad
-        return self._make(fft_ops.mirror(self._data))
+        return self._map(fft_ops.mirror)
 
     def fft_shift(self) -> "DspVector":
-        return self._make(fft_ops.fft_shift(self._data))
+        return self._map(fft_ops.fft_shift)
 
     def ifft_shift(self) -> "DspVector":
-        return self._make(fft_ops.ifft_shift(self._data))
+        return self._map(fft_ops.ifft_shift)
 
     def apply_window(self, window: WindowFunction) -> "DspVector":
         w = window.sample(self.points(), dtype=_real_dtype_of(self._data))
-        return self._make(self._data * w.astype(self._data.dtype))
+        return self._make(_jit_binary(_window_mul)(self._data, w))
 
     def unapply_window(self, window: WindowFunction) -> "DspVector":
         w = window.sample(self.points(), dtype=_real_dtype_of(self._data))
-        return self._make(self._data / w.astype(self._data.dtype))
+        return self._make(_jit_binary(_window_div)(self._data, w))
 
     # ------------------------------------------------------------------
     # Convolution / correlation (reference time_freq/convolution.rs,
