@@ -107,6 +107,22 @@ def get_interleaved(vec: DspVector) -> np.ndarray:
     return np.ascontiguousarray(vec.interleaved(), dtype=np.float64)
 
 
+def replace_interleaved(vec: DspVector, data) -> DspVector:
+    """New vector with the same metadata but new interleaved data (used by
+    the C-callback map_inplace path)."""
+    return from_interleaved(1 if vec.is_complex() else 0,
+                            0 if vec.domain() == DataDomain.TIME else 1,
+                            vec.delta(), np.asarray(data))
+
+
+def split_list(vec: DspVector, n: int):
+    return vec.split_into(n)
+
+
+def merge_list(vec: DspVector, sources):
+    return vec.merge(list(sources))
+
+
 def call(vec: DspVector, method: str, *args) -> Tuple[int, Any]:
     """Executes ``vec.method(*args)``; returns (result_code, result).
 

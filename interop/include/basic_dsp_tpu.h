@@ -49,6 +49,23 @@ typedef struct {
   uint64_t max_index;
 } RealStatistics;
 
+typedef struct {
+  double sum_re, sum_im;
+  uint64_t count;
+  double average_re, average_im;
+  double rms_re, rms_im;
+  double min_re, min_im;
+  uint64_t min_index;
+  double max_re, max_im;
+  uint64_t max_index;
+} ComplexStatistics;
+
+/* User callbacks for map_inplace / map_aggregate (the analog of the
+ * reference's ForeignRealConvolutionFunction-style fn pointers,
+ * interop/src/lib.rs:244-377). */
+typedef double (*bdsp_map_real_fn)(double value, size_t index,
+                                   const void *user_data);
+
 /* Runtime ------------------------------------------------------------- */
 int32_t bdsp_init(void);
 const char *bdsp_last_error(void);
@@ -171,7 +188,44 @@ const char *bdsp_last_error(void);
   VectorResult decimatei##X(DspVec *v, int32_t decimation_factor,              \
                             int32_t delay);                                    \
   VectorResult interpolate_lin##X(DspVec *v, REAL factor, REAL delay);         \
-  VectorResult interpolate_hermite##X(DspVec *v, REAL factor, REAL delay);
+  VectorResult interpolate_hermite##X(DspVec *v, REAL factor, REAL delay);     \
+  /* approximated ops */                                                       \
+  VectorResult ln_approx##X(DspVec *v);                                        \
+  VectorResult exp_approx##X(DspVec *v);                                       \
+  VectorResult sin_approx##X(DspVec *v);                                       \
+  VectorResult cos_approx##X(DspVec *v);                                       \
+  VectorResult log_approx##X(DspVec *v, REAL base);                            \
+  VectorResult expf_approx##X(DspVec *v, REAL base);                           \
+  VectorResult powf_approx##X(DspVec *v, REAL exponent);                       \
+  /* non-consuming getters (new handle; original untouched) */                 \
+  DspVec *get_real##X(DspVec *v);                                              \
+  DspVec *get_imag##X(DspVec *v);                                              \
+  DspVec *get_magnitude##X(DspVec *v);                                         \
+  DspVec *get_magnitude_squared##X(DspVec *v);                                 \
+  DspVec *get_phase##X(DspVec *v);                                             \
+  VectorResult set_real_imag##X(DspVec *v, DspVec *re, DspVec *im);            \
+  VectorResult set_mag_phase##X(DspVec *v, DspVec *mag, DspVec *phase);        \
+  /* precise + complex reductions */                                           \
+  ScalarResult real_sum_sq_prec##X(DspVec *v);                                 \
+  ComplexResult complex_sum_prec##X(DspVec *v);                                \
+  ComplexResult complex_sum_sq_prec##X(DspVec *v);                             \
+  ScalarResult real_dot_product_prec##X(DspVec *a, DspVec *b);                 \
+  ComplexResult complex_dot_product_prec##X(DspVec *a, DspVec *b);             \
+  int32_t real_statistics_prec##X(DspVec *v, RealStatistics *out);             \
+  int32_t complex_statistics##X(DspVec *v, ComplexStatistics *out);            \
+  int32_t real_statistics_split##X(DspVec *v, size_t len,                      \
+                                   RealStatistics *out);                       \
+  /* symmetric windowed transforms */                                          \
+  VectorResult windowed_sfft##X(DspVec *v, int32_t window_id);                 \
+  VectorResult windowed_sifft##X(DspVec *v, int32_t window_id);                \
+  /* split / merge (round-robin polyphase) */                                  \
+  int32_t split_into##X(DspVec *v, DspVec **targets, size_t n);                \
+  VectorResult merge##X(DspVec *v, DspVec *const *sources, size_t n);          \
+  /* user-callback mapping */                                                  \
+  VectorResult map_inplace_real##X(DspVec *v, bdsp_map_real_fn fn,             \
+                                   const void *user_data);                     \
+  ScalarResult map_aggregate_real##X(DspVec *v, bdsp_map_real_fn fn,           \
+                                     const void *user_data);
 
 BDSP_DECLARE(32, float)
 BDSP_DECLARE(64, double)

@@ -184,7 +184,212 @@ double attr_double(DspVec *v, const char *method) {
   return value;
 }
 
+double stat_field(PyObject *res, const char *name) {
+  PyObject *a = PyObject_GetAttrString(res, name);
+  double value = a ? PyFloat_AsDouble(a) : 0.0;
+  Py_XDECREF(a);
+  PyErr_Clear();
+  return value;
+}
+
+Py_complex stat_field_c(PyObject *res, const char *name) {
+  PyObject *a = PyObject_GetAttrString(res, name);
+  Py_complex value{0.0, 0.0};
+  if (a) value = PyComplex_AsCComplex(a);
+  Py_XDECREF(a);
+  PyErr_Clear();
+  return value;
+}
+
+void stats_to_struct(PyObject *res, RealStatistics *out) {
+  out->sum = stat_field(res, "sum");
+  out->count = (uint64_t)stat_field(res, "count");
+  out->average = stat_field(res, "average");
+  out->rms = stat_field(res, "rms");
+  out->min = stat_field(res, "min");
+  out->min_index = (uint64_t)stat_field(res, "min_index");
+  out->max = stat_field(res, "max");
+  out->max_index = (uint64_t)stat_field(res, "max_index");
+}
+
+int32_t fill_real_stats(DspVec *v, const char *method, RealStatistics *out) {
+  Gil gil;
+  PyObject *res = PyObject_CallMethod(v->obj, method, nullptr);
+  if (!res) {
+    record_py_error();
+    PyErr_Clear();
+    return -1;
+  }
+  stats_to_struct(res, out);
+  Py_DECREF(res);
+  return 0;
+}
+
+int32_t fill_complex_stats(DspVec *v, ComplexStatistics *out) {
+  Gil gil;
+  PyObject *res = PyObject_CallMethod(v->obj, "statistics", nullptr);
+  if (!res) {
+    record_py_error();
+    PyErr_Clear();
+    return -1;
+  }
+  Py_complex c;
+  c = stat_field_c(res, "sum");
+  out->sum_re = c.real;
+  out->sum_im = c.imag;
+  out->count = (uint64_t)stat_field(res, "count");
+  c = stat_field_c(res, "average");
+  out->average_re = c.real;
+  out->average_im = c.imag;
+  c = stat_field_c(res, "rms");
+  out->rms_re = c.real;
+  out->rms_im = c.imag;
+  c = stat_field_c(res, "min");
+  out->min_re = c.real;
+  out->min_im = c.imag;
+  out->min_index = (uint64_t)stat_field(res, "min_index");
+  c = stat_field_c(res, "max");
+  out->max_re = c.real;
+  out->max_im = c.imag;
+  out->max_index = (uint64_t)stat_field(res, "max_index");
+  Py_DECREF(res);
+  return 0;
+}
+
+int32_t fill_split_stats(DspVec *v, size_t len, RealStatistics *out) {
+  Gil gil;
+  PyObject *res = PyObject_CallMethod(v->obj, "statistics_split", "(n)",
+                                      (Py_ssize_t)len);
+  if (!res) {
+    record_py_error();
+    PyErr_Clear();
+    return -1;
+  }
+  Py_ssize_t n = PySequence_Size(res);
+  for (Py_ssize_t i = 0; i < n && (size_t)i < len; ++i) {
+    PyObject *item = PySequence_GetItem(res, i);
+    stats_to_struct(item, &out[i]);
+    Py_DECREF(item);
+  }
+  Py_DECREF(res);
+  return (int32_t)n;
+}
+
+int32_t split_into_impl(DspVec *v, DspVec **targets, size_t n) {
+  Gil gil;
+  PyObject *args = Py_BuildValue("(On)", v->obj, (Py_ssize_t)n);
+  PyObject *res = support_call("split_list", args);
+  Py_DECREF(args);
+  if (!res) {
+    PyErr_Clear();
+    return 7; /* InvalidArgumentLength */
+  }
+  for (size_t i = 0; i < n; ++i) {
+    PyObject *item = PySequence_GetItem(res, (Py_ssize_t)i);
+    targets[i] = new DspVec{item};
+  }
+  Py_DECREF(res);
+  return 0;
+}
+
+VectorResult merge_impl(DspVec *v, DspVec *const *sources, size_t n) {
+  Gil gil;
+  VectorResult out{-1, v};
+  PyObject *list = PyList_New((Py_ssize_t)n);
+  for (size_t i = 0; i < n; ++i) {
+    Py_INCREF(sources[i]->obj);
+    PyList_SET_ITEM(list, (Py_ssize_t)i, sources[i]->obj);
+  }
+  PyObject *args = Py_BuildValue("(ON)", v->obj, list);
+  PyObject *res = support_call("merge_list", args);
+  Py_DECREF(args);
+  if (!res) {
+    PyErr_Clear();
+    out.result_code = 7;
+    return out;
+  }
+  Py_DECREF(v->obj);
+  v->obj = res;
+  out.result_code = 0;
+  return out;
+}
+
+// Marshals the vector's interleaved floats through the user's C callback.
+// (The analog of the reference's ForeignWindowFunction-style adapters,
+// interop/src/lib.rs:244-377.)
+int32_t run_map(DspVec *v, bdsp_map_real_fn fn, const void *user_data,
+                std::vector<double> *values) {
+  Gil gil;
+  PyObject *args = Py_BuildValue("(O)", v->obj);
+  PyObject *arr = support_call("get_interleaved", args);
+  Py_DECREF(args);
+  if (!arr) {
+    PyErr_Clear();
+    return -1;
+  }
+  Py_buffer view;
+  if (PyObject_GetBuffer(arr, &view, PyBUF_CONTIG_RO) != 0) {
+    Py_DECREF(arr);
+    PyErr_Clear();
+    return -1;
+  }
+  size_t n = (size_t)(view.len / sizeof(double));
+  const double *src = (const double *)view.buf;
+  values->resize(n);
+  for (size_t i = 0; i < n; ++i) (*values)[i] = fn(src[i], i, user_data);
+  PyBuffer_Release(&view);
+  Py_DECREF(arr);
+  return 0;
+}
+
+VectorResult map_inplace_impl(DspVec *v, bdsp_map_real_fn fn,
+                              const void *user_data) {
+  VectorResult out{-1, v};
+  std::vector<double> values;
+  if (run_map(v, fn, user_data, &values) != 0) return out;
+  Gil gil;
+  PyObject *list = PyList_New((Py_ssize_t)values.size());
+  for (size_t i = 0; i < values.size(); ++i)
+    PyList_SET_ITEM(list, (Py_ssize_t)i, PyFloat_FromDouble(values[i]));
+  PyObject *args = Py_BuildValue("(ON)", v->obj, list);
+  PyObject *res = support_call("replace_interleaved", args);
+  Py_DECREF(args);
+  if (!res) {
+    PyErr_Clear();
+    return out;
+  }
+  Py_DECREF(v->obj);
+  v->obj = res;
+  out.result_code = 0;
+  return out;
+}
+
+ScalarResult map_aggregate_impl(DspVec *v, bdsp_map_real_fn fn,
+                                const void *user_data) {
+  ScalarResult out{-1, 0.0};
+  std::vector<double> values;
+  if (run_map(v, fn, user_data, &values) != 0) return out;
+  double acc = 0.0;
+  for (double d : values) acc += d;
+  out.result = acc;
+  out.result_code = 0;
+  return out;
+}
+
 }  // namespace
+
+// Non-consuming derive: returns a NEW handle, original untouched.
+#define BDSP_DERIVE(X, NAME, METHOD)                                           \
+  DspVec *NAME##X(DspVec *v) {                                                 \
+    Gil gil2;                                                                  \
+    PyObject *res = PyObject_CallMethod(v->obj, METHOD, nullptr);              \
+    if (!res) {                                                                \
+      record_py_error();                                                       \
+      PyErr_Clear();                                                           \
+      return nullptr;                                                          \
+    }                                                                          \
+    return new DspVec{res};                                                    \
+  }
 
 extern "C" {
 
@@ -602,6 +807,83 @@ const char *bdsp_last_error(void) { return g_last_error.c_str(); }
     Gil gil2;                                                                  \
     return dispatch(v, "interpolate_hermite",                                  \
                     Py_BuildValue("(dd)", (double)factor, (double)delay));     \
+  }                                                                            \
+  BDSP_UNARY(X, ln_approx, "ln_approx")                                        \
+  BDSP_UNARY(X, exp_approx, "exp_approx")                                      \
+  BDSP_UNARY(X, sin_approx, "sin_approx")                                      \
+  BDSP_UNARY(X, cos_approx, "cos_approx")                                      \
+  BDSP_UNARY_F(X, log_approx, "log_approx")                                    \
+  BDSP_UNARY_F(X, expf_approx, "expf_approx")                                  \
+  BDSP_UNARY_F(X, powf_approx, "powf_approx")                                  \
+  BDSP_DERIVE(X, get_real, "get_real")                                         \
+  BDSP_DERIVE(X, get_imag, "get_imag")                                         \
+  BDSP_DERIVE(X, get_magnitude, "get_magnitude")                               \
+  BDSP_DERIVE(X, get_magnitude_squared, "get_magnitude_squared")               \
+  BDSP_DERIVE(X, get_phase, "get_phase")                                       \
+  VectorResult set_real_imag##X(DspVec *v, DspVec *re, DspVec *im) {           \
+    Gil gil2;                                                                  \
+    return dispatch(v, "set_real_imag",                                        \
+                    Py_BuildValue("(OO)", re->obj, im->obj));                  \
+  }                                                                            \
+  VectorResult set_mag_phase##X(DspVec *v, DspVec *mag, DspVec *phase) {       \
+    Gil gil2;                                                                  \
+    return dispatch(v, "set_mag_phase",                                        \
+                    Py_BuildValue("(OO)", mag->obj, phase->obj));              \
+  }                                                                            \
+  ScalarResult real_sum_sq_prec##X(DspVec *v) {                                \
+    return dispatch_scalar(v, "sum_sq_prec", nullptr);                         \
+  }                                                                            \
+  ComplexResult complex_sum_prec##X(DspVec *v) {                               \
+    return dispatch_complex(v, "sum_prec", nullptr);                           \
+  }                                                                            \
+  ComplexResult complex_sum_sq_prec##X(DspVec *v) {                            \
+    return dispatch_complex(v, "sum_sq_prec", nullptr);                        \
+  }                                                                            \
+  ScalarResult real_dot_product_prec##X(DspVec *a, DspVec *b) {                \
+    Gil gil2;                                                                  \
+    return dispatch_scalar(a, "dot_product_prec",                              \
+                           Py_BuildValue("(O)", b->obj));                      \
+  }                                                                            \
+  ComplexResult complex_dot_product_prec##X(DspVec *a, DspVec *b) {            \
+    Gil gil2;                                                                  \
+    return dispatch_complex(a, "dot_product_prec",                             \
+                            Py_BuildValue("(O)", b->obj));                     \
+  }                                                                            \
+  int32_t real_statistics_prec##X(DspVec *v, RealStatistics *out) {            \
+    return fill_real_stats(v, "statistics_prec", out);                         \
+  }                                                                            \
+  int32_t complex_statistics##X(DspVec *v, ComplexStatistics *out) {           \
+    return fill_complex_stats(v, out);                                         \
+  }                                                                            \
+  int32_t real_statistics_split##X(DspVec *v, size_t len,                      \
+                                   RealStatistics *out) {                      \
+    return fill_split_stats(v, len, out);                                      \
+  }                                                                            \
+  VectorResult windowed_sfft##X(DspVec *v, int32_t window_id) {                \
+    Gil gil2;                                                                  \
+    PyObject *w = make_window(window_id);                                      \
+    if (!w) return VectorResult{-1, v};                                        \
+    return dispatch(v, "windowed_sfft", Py_BuildValue("(N)", w));              \
+  }                                                                            \
+  VectorResult windowed_sifft##X(DspVec *v, int32_t window_id) {               \
+    Gil gil2;                                                                  \
+    PyObject *w = make_window(window_id);                                      \
+    if (!w) return VectorResult{-1, v};                                        \
+    return dispatch(v, "windowed_sifft", Py_BuildValue("(N)", w));             \
+  }                                                                            \
+  int32_t split_into##X(DspVec *v, DspVec **targets, size_t n) {               \
+    return split_into_impl(v, targets, n);                                     \
+  }                                                                            \
+  VectorResult merge##X(DspVec *v, DspVec *const *sources, size_t n) {         \
+    return merge_impl(v, sources, n);                                          \
+  }                                                                            \
+  VectorResult map_inplace_real##X(DspVec *v, bdsp_map_real_fn fn,             \
+                                   const void *user_data) {                    \
+    return map_inplace_impl(v, fn, user_data);                                 \
+  }                                                                            \
+  ScalarResult map_aggregate_real##X(DspVec *v, bdsp_map_real_fn fn,           \
+                                     const void *user_data) {                  \
+    return map_aggregate_impl(v, fn, user_data);                               \
   }                                                                            \
   }  // extern "C"
 

@@ -197,3 +197,92 @@ def test_convolution_via_c_abi(lib):
                                atol=1e-6)
     lib.delete_vector64(mag.vector)
     lib.delete_vector64(b)
+
+
+MAP_CB = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_double, ctypes.c_size_t,
+                          ctypes.c_void_p)
+
+
+def test_getters_and_set_real_imag(lib):
+    lib.get_real64.restype = ctypes.c_void_p
+    lib.get_real64.argtypes = [ctypes.c_void_p]
+    lib.get_imag64.restype = ctypes.c_void_p
+    lib.get_imag64.argtypes = [ctypes.c_void_p]
+    lib.set_real_imag64.restype = VectorResult
+    lib.set_real_imag64.argtypes = [ctypes.c_void_p] * 3
+    inter = np.array([1.0, 2.0, 3.0, 4.0])
+    v = make_vec(lib, inter, is_complex=1)
+    re = lib.get_real64(v)
+    im = lib.get_imag64(v)
+    np.testing.assert_allclose(read_vec(lib, re, 2), [1.0, 3.0])
+    np.testing.assert_allclose(read_vec(lib, im, 2), [2.0, 4.0])
+    res = lib.set_real_imag64(v, im, re)  # swapped
+    assert res.result_code == 0
+    np.testing.assert_allclose(read_vec(lib, res.vector, 4),
+                               [2.0, 1.0, 4.0, 3.0])
+    lib.delete_vector64(res.vector)
+    lib.delete_vector64(re)
+    lib.delete_vector64(im)
+
+
+def test_split_merge_c_abi(lib):
+    lib.split_into64.restype = ctypes.c_int32
+    lib.split_into64.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_void_p),
+                                 ctypes.c_size_t]
+    lib.merge64.restype = VectorResult
+    lib.merge64.argtypes = [ctypes.c_void_p,
+                            ctypes.POINTER(ctypes.c_void_p), ctypes.c_size_t]
+    v = make_vec(lib, np.arange(1.0, 11.0))
+    targets = (ctypes.c_void_p * 2)()
+    assert lib.split_into64(v, targets, 2) == 0
+    np.testing.assert_allclose(read_vec(lib, targets[0], 5), [1, 3, 5, 7, 9])
+    res = lib.merge64(targets[0], targets, 2)
+    assert res.result_code == 0
+    np.testing.assert_allclose(read_vec(lib, res.vector, 10),
+                               np.arange(1.0, 11.0))
+    lib.delete_vector64(res.vector)
+    lib.delete_vector64(targets[1])
+    lib.delete_vector64(v)
+
+
+def test_map_inplace_c_callback(lib):
+    lib.map_inplace_real64.restype = VectorResult
+    lib.map_inplace_real64.argtypes = [ctypes.c_void_p, MAP_CB,
+                                       ctypes.c_void_p]
+    lib.map_aggregate_real64.restype = ScalarResult
+    lib.map_aggregate_real64.argtypes = [ctypes.c_void_p, MAP_CB,
+                                         ctypes.c_void_p]
+    cb = MAP_CB(lambda value, idx, _: value * idx + 1.0)
+    v = make_vec(lib, [1.0, 2.0, 3.0])
+    res = lib.map_inplace_real64(v, cb, None)
+    assert res.result_code == 0
+    np.testing.assert_allclose(read_vec(lib, res.vector, 3), [1.0, 3.0, 7.0])
+    agg = lib.map_aggregate_real64(res.vector, MAP_CB(
+        lambda value, idx, _: value * 2.0), None)
+    assert agg.result_code == 0
+    assert agg.result == 22.0
+    lib.delete_vector64(res.vector)
+
+
+def test_statistics_split_c_abi(lib):
+    lib.real_statistics_split64.restype = ctypes.c_int32
+    lib.real_statistics_split64.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.POINTER(RealStatistics)]
+    v = make_vec(lib, [1.0, 10.0, 2.0, 20.0, 3.0, 30.0])
+    out = (RealStatistics * 2)()
+    assert lib.real_statistics_split64(v, 2, out) == 2
+    assert out[0].sum == 6.0
+    assert out[1].sum == 60.0
+    lib.delete_vector64(v)
+
+
+def test_prec_reductions_c_abi(lib):
+    lib.real_sum_prec64.restype = ScalarResult
+    lib.real_sum_prec64.argtypes = [ctypes.c_void_p]
+    data = np.random.default_rng(0).uniform(-10, 10, 10000)
+    v = make_vec(lib, data)
+    s = lib.real_sum_prec64(v)
+    assert s.result_code == 0
+    assert abs(s.result - data.sum()) < 1e-9
+    lib.delete_vector64(v)
