@@ -1,0 +1,123 @@
+"""Full benchmark suite over the BASELINE.md configs (one JSON line each).
+
+``bench.py`` remains the single headline metric for the driver; this script
+reports the whole config table:
+
+1. 1M-sample real sine -> Hamming window + FFT magnitude
+2. 4M-sample complex raised-cosine FIR (overlap path)
+3. fractional resampling of 44.1 kHz audio (interpolatef x1.5)
+4. modulation chain: PRBS symbols -> RC pulse shaping -> passband
+5. 1024-channel polyphase channelizer + FM demod
+"""
+import json
+import time
+
+import numpy as np
+
+
+def timed(fn, *args, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def looped(*a):
+        def step(_, carry):
+            out = fn(*a, carry)
+            return jnp.sum(jnp.abs(out.ravel()[:1])) + carry * 0.0
+
+        return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+
+    float(looped(*args))
+    t0 = time.perf_counter()
+    float(looped(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from basic_dsp_tpu.ops import conv_ops, fft_ops, interp_ops
+    from basic_dsp_tpu.parallel import channelizer
+    from basic_dsp_tpu.windows import HammingWindow
+    from basic_dsp_tpu.conv_types import RaisedCosineFunction, SincFunction
+
+    rng = np.random.default_rng(0)
+    results = []
+
+    # Config 1: 1M real sine -> windowed FFT magnitude.
+    n1 = 1 << 20
+    sine = jnp.asarray(np.sin(2 * np.pi * 0.01 * np.arange(n1))
+                       .astype(np.float32))
+    w1 = HammingWindow().sample(n1, dtype=jnp.float32)
+
+    def cfg1(x, w, carry):
+        return jnp.abs(fft_ops.fft_shifted(
+            (x * (1.0 + carry * 0.0)).astype(jnp.complex64) * w))
+
+    dt = timed(cfg1, sine, w1, iters=10)
+    results.append(("windowed_fft_magnitude_1m", n1 / dt / 1e6))
+
+    # Config 2: 4M complex RC FIR.
+    n2 = 1 << 22
+    x_re = jnp.asarray(rng.normal(size=n2).astype(np.float32))
+    x_im = jnp.asarray(rng.normal(size=n2).astype(np.float32))
+    rc = RaisedCosineFunction(0.35)
+    t = ((np.arange(128) - 64) * 0.25).astype(np.float32)
+    taps = jnp.asarray(np.asarray(rc.calc(t)))
+
+    def cfg2(xr, xi, h, carry):
+        x = (xr + 1j * xi) * (1.0 + carry * 0.0)
+        return conv_ops.convolve_signal(x, h.astype(jnp.complex64), True)
+
+    dt = timed(cfg2, x_re, x_im, taps, iters=10)
+    results.append(("rc_fir_4m", n2 / dt / 1e6))
+
+    # Config 3: fractional resampling x1.5 of 1M audio samples
+    # (slow_down_music), complex stereo-as-IQ.
+    n3 = 1 << 20
+    a_re = jnp.asarray(rng.normal(size=n3).astype(np.float32))
+    a_im = jnp.asarray(rng.normal(size=n3).astype(np.float32))
+
+    def cfg3(xr, xi, carry):
+        x = (xr + 1j * xi) * (1.0 + carry * 0.0)
+        return interp_ops.interpolatef(x, SincFunction(), 1.5, 0.0, 10, 1.0)
+
+    dt = timed(cfg3, a_re, a_im, iters=3)
+    results.append(("interpolatef_1_5x_1m", n3 / dt / 1e6))
+
+    # Config 4: modulation chain (pulse shaping x10 + passband).
+    n4 = 1 << 17  # symbols
+    s_re = jnp.asarray(rng.choice([-0.5, 0.5], n4).astype(np.float32))
+    s_im = jnp.asarray(rng.choice([-0.5, 0.5], n4).astype(np.float32))
+
+    def cfg4(sr, si, carry):
+        iq = (sr + 1j * si) * (1.0 + carry * 0.0)
+        shaped = interp_ops.interpolatef(iq, RaisedCosineFunction(0.35),
+                                         10.0, 0.0, 10, 1.0)
+        return jnp.real(shaped)
+
+    dt = timed(cfg4, s_re, s_im, iters=3)
+    results.append(("modulation_chain_131k_symbols", 10 * n4 / dt / 1e6))
+
+    # Config 5: 1024-channel channelizer + FM demod over 4M samples.
+    n5 = 1 << 22
+    C = 1024
+    c_re = jnp.asarray(rng.normal(size=n5).astype(np.float32))
+    c_im = jnp.asarray(rng.normal(size=n5).astype(np.float32))
+    proto = jnp.asarray((np.hamming(C * 8) / C).astype(np.float32))
+
+    def cfg5(xr, xi, p, carry):
+        x = (xr + 1j * xi) * (1.0 + carry * 0.0)
+        return channelizer.channelize_and_demod(x, p, C)
+
+    dt = timed(cfg5, c_re, c_im, proto, iters=5)
+    results.append(("channelizer_1024ch_4m", n5 / dt / 1e6))
+
+    for name, msps in results:
+        print(json.dumps({"metric": name, "value": round(msps, 2),
+                          "unit": "Msamples/s"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,25 @@ def test_matrix_interpolatef():
     for i, r in enumerate(rows):
         expected = r.interpolatef(bd.SincFunction(), 2.0, 0.0, 8)
         assert_vector_eq(out.rows()[i].array, expected.array, tol=1e-9)
+
+
+def test_matrix_channel_sharded():
+    """Channel-sharded matrix ops agree with unsharded (the 'TP' analog for
+    the MIMO layer — channels sharded over the mesh)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = bd.make_mesh()
+    data = create_complex_data(3, 8 * 256).reshape(8, 256)
+    mat = bd.to_complex_time_mat(data)
+    sharded_data = jax.device_put(
+        jnp_asarray(data), NamedSharding(mesh, P("dsp", None)))
+    mat_sharded = bd.to_complex_time_mat(sharded_data)
+    out = mat.fft().magnitude()
+    out_sharded = mat_sharded.fft().magnitude()
+    assert_vector_eq(np.asarray(out_sharded.array), np.asarray(out.array),
+                     tol=1e-9)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
