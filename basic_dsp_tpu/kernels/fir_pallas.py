@@ -116,6 +116,7 @@ def fir_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
     # Shift a covers tap offsets e in [128a-127, 128a+127]; covering
     # e in [0, m_eff) needs ceil((m_eff + 127) / 128) shifts.
     n_shifts = -(-(m_eff + LANES - 1) // LANES)
+    tile_rows = min(tile_rows, max(8, R))
     tiles = -(-R // tile_rows)
 
     grid = (tiles,)

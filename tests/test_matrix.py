@@ -124,3 +124,15 @@ def test_matrix_channel_sharded():
 def jnp_asarray(x):
     import jax.numpy as jnp
     return jnp.asarray(x)
+
+
+def test_matrix_toeplitz_path():
+    """Matrix conv through the direct (Toeplitz) dispatch path (n > 1000)."""
+    data = create_complex_data(9, 3 * 1500).reshape(3, 1500)
+    mat = bd.to_complex_time_mat(data)
+    imp = bd.to_complex_time_vec(create_complex_data(10, 31))
+    out = mat.convolve_signal(imp)
+    for i in range(3):
+        row = bd.to_complex_time_vec(data[i])
+        assert_vector_eq(out.rows()[i].array,
+                         row.convolve_signal(imp).array, tol=1e-9)
