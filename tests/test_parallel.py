@@ -140,3 +140,26 @@ def test_autotune_calibrate_small(mesh):
     assert best in (64, 128, 256)
     report = autotune.print_calibration()
     assert "chosen" in report
+
+
+def test_four_step_fft_matches_jnp():
+    from basic_dsp_tpu.parallel import sharded_fft as sf
+    for n in [4096, 1 << 14, 900]:
+        x = create_complex_data(n, n)
+        got = np.asarray(sf.four_step_fft(jnp.asarray(x)))
+        exp = np.fft.fft(x)
+        scale = np.abs(exp).max()
+        assert np.max(np.abs(got - exp)) / scale < 1e-10, n
+        gi = np.asarray(sf.four_step_ifft(jnp.asarray(x)))
+        ei = np.fft.ifft(x) * n
+        assert np.max(np.abs(gi - ei)) / np.abs(ei).max() < 1e-10, n
+
+
+def test_sharded_fft_matches_single(mesh):
+    from basic_dsp_tpu.parallel import sharded_fft as sf
+    n = 1 << 14
+    x = create_complex_data(n, n)
+    xs = shard_time_axis(jnp.asarray(x), mesh)
+    got = np.asarray(sf.sharded_fft(xs, mesh))
+    exp = np.fft.fft(x)
+    assert np.max(np.abs(got - exp)) / np.abs(exp).max() < 1e-10
