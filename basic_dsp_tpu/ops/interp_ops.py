@@ -13,6 +13,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import conv_ops, fft_ops, reorg_ops
 
@@ -51,10 +52,18 @@ def interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
 
 
 def _interpolatef_core(x, fun, factor, delay, L, new_points):
+    from fractions import Fraction
     int_factor = round(factor)
+    n = x.shape[-1]
     if (abs(factor - int_factor) < 1e-6 and int_factor >= 1
-            and new_points == int_factor * x.shape[-1]):
+            and new_points == int_factor * n):
         return _interpolatef_integer_spectral(x, fun, int_factor, delay, L)
+    frac = Fraction(factor).limit_denominator(64)
+    if (abs(float(frac) - factor) < 1e-9 and frac >= 1
+            and n % frac.denominator == 0
+            and new_points == n * frac.numerator // frac.denominator):
+        return _interpolatef_rational_spectral(
+            x, fun, frac.numerator, frac.denominator, delay, L)
     return _interpolatef_gather(x, fun, factor, delay, L, new_points)
 
 
@@ -105,6 +114,40 @@ def _interpolatef_integer_spectral(x, fun, factor, delay, L):
     X = jnp.fft.fft(x.astype(cdtype), axis=-1)
     out_p = jnp.fft.ifft(X[..., None, :] * K, axis=-1)  # (..., F, n)
     out = jnp.swapaxes(out_p, -1, -2).reshape(x.shape[:-1] + (factor * n,))
+    if not jnp.iscomplexobj(x):
+        return jnp.real(out).astype(x.dtype)
+    return out
+
+
+def _interpolatef_rational_spectral(x, fun, P, Q, delay, L):
+    """Rational-factor P/Q polyphase fast path (gather-free).
+
+    With output index ``i = k*P + p``::
+
+        floor(i*Q/P) = k*Q + floor(p*Q/P),  frac = (p*Q mod P)/P
+
+    so the output decomposes into P phases, each a circular correlation of
+    x with a fixed tap vector followed by a stride-Q decimation at offset
+    ``floor(p*Q/P)`` — one FFT of x, P tap spectra, P IFFTs, strided
+    slices.  Exactly equal to the scalar formula.  Requires Q | n.
+    """
+    n = x.shape[-1]
+    rdtype = jnp.zeros((), x.dtype).real.dtype
+    s = jnp.arange(-L, L + 1, dtype=rdtype)
+    p = np.arange(P)
+    fracs = ((p * Q) % P) / P
+    offs = (p * Q) // P
+    taps = fun.calc(s[None, :] - jnp.asarray(fracs, dtype=rdtype)[:, None]
+                    + delay)                                  # (P, 2L+1)
+    cdtype = jnp.result_type(x.dtype, jnp.complex64)
+    g = jnp.zeros((P, n), dtype=taps.dtype)
+    g = g.at[:, (-jnp.arange(-L, L + 1)) % n].add(taps)
+    K = jnp.fft.fft(g.astype(cdtype), axis=-1)
+    X = jnp.fft.fft(x.astype(cdtype), axis=-1)
+    corr = jnp.fft.ifft(X[..., None, :] * K, axis=-1)         # (..., P, n)
+    k_count = n // Q
+    phases = [corr[..., i, offs[i]::Q][..., :k_count] for i in range(P)]
+    out = jnp.stack(phases, axis=-1).reshape(x.shape[:-1] + (k_count * P,))
     if not jnp.iscomplexobj(x):
         return jnp.real(out).astype(x.dtype)
     return out

@@ -227,3 +227,33 @@ def test_interpolatef_integer_spectral_matches_gather():
             xj, bd.SincFunction(), float(F), delay, L, F * n)
         assert_vector_eq(np.asarray(fast), np.asarray(slow), tol=1e-9,
                          msg=f"n={n} F={F} L={L}")
+
+
+def test_interpolatef_rational_spectral_matches_gather():
+    from basic_dsp_tpu.ops import interp_ops
+    import jax.numpy as jnp
+    for n, P, Q, L, delay in [(40, 3, 2, 5, 0.0), (64, 5, 4, 7, 1.0),
+                              (48, 7, 3, 8, 0.5)]:
+        x = multitone(n, n) + 1j * multitone(n + 1, n)
+        xj = jnp.asarray(x)
+        fast = interp_ops._interpolatef_rational_spectral(
+            xj, bd.SincFunction(), P, Q, delay, L)
+        slow = interp_ops._interpolatef_gather(
+            xj, bd.SincFunction(), P / Q, delay, L, n * P // Q)
+        assert_vector_eq(np.asarray(fast), np.asarray(slow), tol=1e-9,
+                         msg=f"n={n} P={P} Q={Q}")
+
+
+def test_interpolatef_1_5x_uses_rational_path():
+    """1.5x (the slow_down_music factor) matches the gather semantics
+    through the public API."""
+    n = 64
+    data = multitone(3, n) + 1j * multitone(4, n)
+    v = bd.to_complex_time_vec(data)
+    out = v.interpolatef(bd.SincFunction(), 1.5, 0.0, 10)
+    assert out.points() == 96
+    from basic_dsp_tpu.ops import interp_ops
+    import jax.numpy as jnp
+    slow = interp_ops._interpolatef_gather(
+        jnp.asarray(data), bd.SincFunction(), 1.5, 0.0, 10, 96)
+    assert_vector_eq(np.asarray(out.array), np.asarray(slow), tol=1e-9)
