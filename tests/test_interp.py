@@ -265,3 +265,36 @@ def test_interpolatef_1_5x_uses_rational_path():
     slow = interp_ops._interpolatef_gather(
         jnp.asarray(data), bd.SincFunction(), 1.5, 0.0, 10, 96)
     assert_vector_eq(np.asarray(out.array), np.asarray(slow), tol=1e-9)
+
+
+def test_hermite_spline_golden():
+    """real_interpolation.rs:197-211 (interior points, tol 6e-2)."""
+    v = bd.to_real_freq_vec([-1.0, -2.0, -1.0, 0.0, 1.0, 3.0, 4.0])
+    out = np.asarray(v.interpolate_hermite(4.0, 0.0).array)
+    expected = np.array([
+        -1.0000, -1.4375, -1.7500, -1.9375, -2.0000, -1.8906, -1.6250,
+        -1.2969, -1.0000, -0.7500, -0.5000, -0.2500, 0.0, 0.2344, 0.4583,
+        0.7031, 1.0000, 1.4375, 2.0000, 2.5625, 3.0000, 3.3203, 3.6042,
+        3.8359, 4.0])
+    assert_vector_eq(out[4:-4], expected[4:-4], tol=6e-2)
+
+
+def test_hermite_linear_increment_golden():
+    """real_interpolation.rs:214-224 — straight line stays straight."""
+    v = bd.to_real_freq_vec([-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0])
+    out = np.asarray(v.interpolate_hermite(3.0, 0.0).array)
+    expected = [-3.0, -2.666, -2.333, -2.0, -1.666, -1.333, -1.0, -0.666,
+                -0.333, 0.0, 0.333, 0.666, 1.0, 1.333, 1.666, 2.0, 2.333,
+                2.666, 3.0]
+    assert_vector_eq(out, expected, tol=5e-3)
+
+
+def test_linear_golden():
+    """real_interpolation.rs:227-239."""
+    v = bd.to_real_freq_vec([-1.0, -2.0, -1.0, 0.0, 1.0, 3.0, 4.0])
+    out = np.asarray(v.interpolate_lin(4.0, 0.0).array)
+    expected = [-1.0000, -1.2500, -1.5000, -1.7500, -2.0000, -1.7500,
+                -1.5000, -1.2500, -1.0000, -0.7500, -0.5000, -0.2500, 0.0,
+                0.2500, 0.5000, 0.7500, 1.0000, 1.5000, 2.0000, 2.5000,
+                3.0000, 3.2500, 3.5000, 3.7500, 4.0]
+    assert_vector_eq(out, expected, tol=0.1)
