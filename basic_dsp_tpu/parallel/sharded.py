@@ -79,18 +79,26 @@ def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
     cdtype = jnp.result_type(x.dtype, h.dtype, jnp.complex64)
     h_eff = h[..., start:start + length].astype(cdtype)
 
-    body = functools.partial(_local_overlap_save, m_eff=m_eff, c=c,
-                             fft_len=fft_len, axis_name=axis_name)
-    fn = jax.shard_map(
-        lambda xs, he: body(xs, he),
-        mesh=mesh,
-        in_specs=(P(axis_name), P()),
-        out_specs=P(axis_name),
-    )
+    fn = _sharded_conv_fn(mesh, axis_name, m_eff, c, fft_len)
     out = fn(x.astype(cdtype), h_eff)
     if not jnp.iscomplexobj(x) and not jnp.iscomplexobj(h):
         out = jnp.real(out).astype(x.dtype)
     return out
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_conv_fn(mesh: Mesh, axis_name: str, m_eff: int, c: int,
+                     fft_len: int):
+    """Jitted shard_map conv, cached per (mesh, kernel geometry) so repeated
+    calls reuse the compiled executable."""
+    body = functools.partial(_local_overlap_save, m_eff=m_eff, c=c,
+                             fft_len=fft_len, axis_name=axis_name)
+    return jax.jit(jax.shard_map(
+        lambda xs, he: body(xs, he),
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(axis_name),
+    ))
 
 
 def sharded_sum(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp"):

@@ -407,6 +407,14 @@ int32_t bdsp_init(void) {
     code += std::string("sys.path.insert(0, '") + extra + "')\n";
   }
   code += "sys.path.insert(0, '" BDSP_REPO_ROOT "')\n";
+  // Optional platform override (jax may be pre-imported by sitecustomize,
+  // so env vars like JAX_PLATFORMS can be too late — use jax.config).
+  const char *platform = getenv("BDSP_PLATFORM");
+  if (platform) {
+    code += "import jax\n";
+    code += std::string("jax.config.update('jax_platforms', '") + platform +
+            "')\n";
+  }
   if (PyRun_SimpleString(code.c_str()) != 0) {
     g_last_error = "failed to set sys.path";
     return -1;
