@@ -31,6 +31,7 @@ from .matrix import (
     RealFreqMatrix,
     RealTimeMatrix,
     from_rows,
+    to_mat,
     to_complex_freq_mat,
     to_complex_time_mat,
     to_gen_dsp_mat,

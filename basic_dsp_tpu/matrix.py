@@ -32,7 +32,7 @@ __all__ = [
     "DspMatrix", "RealTimeMatrix", "RealFreqMatrix", "ComplexTimeMatrix",
     "ComplexFreqMatrix", "GenDspMatrix",
     "to_real_time_mat", "to_real_freq_mat", "to_complex_time_mat",
-    "to_complex_freq_mat", "to_gen_dsp_mat", "from_rows",
+    "to_complex_freq_mat", "to_gen_dsp_mat", "from_rows", "to_mat",
 ]
 
 
@@ -234,6 +234,11 @@ def to_gen_dsp_mat(data, is_complex: bool,
                    delta: float = 1.0) -> GenDspMatrix:
     space = NumberSpace.COMPLEX if is_complex else NumberSpace.REAL
     return GenDspMatrix(jnp.asarray(data), delta, domain, space)
+
+
+def to_mat(rows: Sequence[DspVector]) -> DspMatrix:
+    """Alias matching the reference's ``[v1, v2].to_mat()`` conversion."""
+    return from_rows(rows)
 
 
 def from_rows(rows: Sequence[DspVector]) -> DspMatrix:

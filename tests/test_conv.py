@@ -197,3 +197,22 @@ def test_toeplitz_conv_matches_fft():
                                           False)
     toep = conv_ops.toeplitz_conv(jnp.asarray(x), jnp.asarray(h), False)
     assert_vector_eq(np.asarray(toep), np.asarray(direct), tol=1e-8)
+
+
+def test_dispatch_respects_config():
+    """DspConfig thresholds steer the conv dispatch (the MultiCoreSettings
+    analog: per-call config overrides)."""
+    n, m = 5000, 31
+    x = create_complex_data(1, n)
+    h = create_complex_data(2, m)
+    a = bd.to_complex_time_vec(x)
+    b = bd.to_complex_time_vec(h)
+    default = a.convolve_signal(b)
+    forced_blocked = a.convolve_signal(b, cfg=bd.DspConfig(
+        overlap_save_min_len=1000, overlap_save_min_imp_len=4,
+        overlap_save_len_ratio=2, direct_conv_max_imp_len=0,
+        direct_conv_min_len=10**9))
+    forced_fft = a.convolve_signal(b, cfg=bd.DspConfig(
+        overlap_save_min_len=10**9, direct_conv_min_len=10**9))
+    assert_vector_eq(forced_blocked.array, default.array, tol=1e-6)
+    assert_vector_eq(forced_fft.array, default.array, tol=1e-6)
