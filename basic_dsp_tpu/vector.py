@@ -682,6 +682,53 @@ class DspVector:
                       domain: DataDomain) -> "DspVector":
         return self._retag(space, domain)
 
+    def rededicate(self, space: NumberSpace,
+                   domain: DataDomain) -> "DspVector":
+        """Alias for :meth:`rededicate_to` (reference naming)."""
+        return self._retag(space, domain)
+
+    # ------------------------------------------------------------------
+    # Reference-parity aliases.  The reference's `_b` suffixed operations
+    # take an external scratch buffer (buffer.rs:8-29); XLA owns buffers
+    # here, so they alias the plain operations.
+    # ------------------------------------------------------------------
+    def set_delta(self, delta: float) -> "DspVector":
+        return self.with_delta(delta)
+
+    def get_meta_data(self):
+        """(delta, domain, number_space) — reference GetMetaData."""
+        return self._delta, self._domain, self._space
+
+    def magnitude_b(self): return self.magnitude()
+    def magnitude_squared_b(self): return self.magnitude_squared()
+    def to_real_b(self): return self.to_real()
+    def to_imag_b(self): return self.to_imag()
+    def phase_b(self): return self.phase()
+    def to_complex_b(self): return self.to_complex()
+
+    def zero_pad_b(self, points, option="end"):
+        return self.zero_pad(points, option)
+
+    def zero_interleave_b(self, factor):
+        return self.zero_interleave(factor)
+
+    def resize_b(self, points):
+        return self.resize(points)
+
+    def swap_halves_b(self):
+        return self.swap_halves()
+
+    def apply_linear_phase(self, delay: float) -> "DspVector":
+        """Linear phase on an unshifted spectrum == time-domain delay of
+        ``delay`` samples (reference interpolation.rs:317-339; the caller
+        normalizes by the time-domain delta there)."""
+        bad = (self._check(domain=DataDomain.FREQUENCY)
+               or self._check(complex_=True))
+        if bad is not None:
+            return bad
+        return self._make(_jit_unary_arg(conv_ops.apply_linear_phase)(
+            self._data, delay))
+
     # ------------------------------------------------------------------
     # Time <-> frequency (reference time_freq/)
     # ------------------------------------------------------------------

@@ -272,3 +272,22 @@ def test_resize():
     v = bd.to_real_time_vec([1.0, 2.0, 3.0, 4.0])
     assert_vector_eq(v.resize(2).array, [1.0, 2.0], tol=0)
     assert_vector_eq(v.resize(6).array, [1, 2, 3, 4, 0, 0], tol=0)
+
+
+def test_parity_aliases():
+    v = bd.to_complex_time_vec(np.array([3 + 4j, 1 + 0j]))
+    assert_vector_eq(v.magnitude_b().array, [5.0, 1.0], tol=0)
+    assert_vector_eq(v.to_real_b().array, [3.0, 1.0], tol=0)
+    assert v.set_delta(0.5).delta() == 0.5
+    delta, domain, space = v.get_meta_data()
+    assert domain == bd.DataDomain.TIME
+    r = v.rededicate(bd.NumberSpace.REAL, bd.DataDomain.TIME)
+    assert isinstance(r, bd.RealTimeVector)
+
+
+def test_apply_linear_phase_is_delay():
+    """Linear phase in frequency domain == circular time shift."""
+    data = create_complex_data(1, 32)
+    v = bd.to_complex_time_vec(data)
+    shifted = v.plain_fft().apply_linear_phase(-3.0).plain_ifft().scale(1 / 32)
+    assert_vector_eq(shifted.array, np.roll(data, 3), tol=1e-8)
