@@ -49,7 +49,14 @@ def _local_overlap_save(x_local, h_eff, m_eff, c, fft_len, axis_name):
 
     ln = x_local.shape[-1]
     # Local outputs are the linear convolution of the halo-extended shard,
-    # offset by m_eff - 1 (gather-free overlap-add pipeline).
+    # offset by m_eff - 1.  Short kernels ride the MXU Toeplitz path
+    # (zero-pad makes the circular evaluation linear); long kernels use the
+    # gather-free overlap-add batched-FFT pipeline.
+    if m_eff <= 202:
+        pad = [(0, 0)] * (ext.ndim - 1) + [(0, m_eff)]
+        ext_p = jnp.pad(ext, pad)
+        circ = conv_ops.toeplitz_conv(ext_p, h_eff, True)
+        return circ[..., m_eff - c: m_eff - c + ln]
     lin = conv_ops.blocked_linear_conv(ext, h_eff, fft_len)
     return lin[..., m_eff - 1: m_eff - 1 + ln]
 

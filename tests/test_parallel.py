@@ -32,7 +32,10 @@ def test_sharded_convolve_matches_single_device(mesh, n, m):
                                             True)
     xs = shard_time_axis(jnp.asarray(x), mesh)
     out = sharded_convolve_signal(xs, jnp.asarray(h), mesh)
-    assert_vector_eq(np.asarray(out), np.asarray(expected), tol=1e-3)
+    # tolerance is relative to the output scale (f32 accumulation)
+    scale = float(np.abs(np.asarray(expected)).max())
+    assert_vector_eq(np.asarray(out), np.asarray(expected),
+                     tol=1e-5 * max(scale, 1.0))
 
 
 def test_sharded_convolve_real(mesh):
