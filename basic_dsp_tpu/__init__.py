@@ -39,7 +39,8 @@ from .matrix import (
     to_real_time_mat,
 )
 from .meta import DataDomain, NumberSpace
-from .ops.stats_ops import STATS_VEC_CAPACITY, Statistics, merge_stats
+from .ops.stats_ops import (STATS_VEC_CAPACITY, Statistics, merge_stats,
+                            merge_stats_cols)
 from .vector import (
     ComplexFreqVector,
     ComplexTimeVector,

@@ -47,6 +47,20 @@ class Statistics:
     max: Any
     max_index: int
 
+    @classmethod
+    def empty(cls) -> "Statistics":
+        """Reference Stats::empty (statistics.rs:185-196)."""
+        return cls(sum=0.0, count=0, average=0.0, rms=0.0,
+                   min=float("inf"), min_index=0, max=float("-inf"),
+                   max_index=0)
+
+    @classmethod
+    def invalid(cls) -> "Statistics":
+        """Reference Stats::invalid (statistics.rs:198-209)."""
+        nan = float("nan")
+        return cls(sum=0.0, count=0, average=nan, rms=nan, min=nan,
+                   min_index=0, max=nan, max_index=0)
+
 
 def _as_stats(sum_, count, average, rms, min_, min_idx, max_, max_idx):
     return Statistics(sum=sum_, count=int(count), average=average, rms=rms,
@@ -225,3 +239,14 @@ def merge_stats(parts):
     return Statistics(sum=s, count=total, average=s / total, rms=rms,
                       min=mn.min, min_index=mn.min_index, max=mx.max,
                       max_index=mx.max_index)
+
+
+def merge_stats_cols(parts_list):
+    """Merge several StatsVec (lists of per-bucket Statistics) column-wise
+    (reference Stats::merge_cols, statistics.rs:150-169) — the cross-shard
+    reduction for ``statistics_split`` partials."""
+    if not parts_list:
+        return []
+    length = len(parts_list[0])
+    return [merge_stats([parts[i] for parts in parts_list])
+            for i in range(length)]

@@ -291,3 +291,25 @@ def test_apply_linear_phase_is_delay():
     v = bd.to_complex_time_vec(data)
     shifted = v.plain_fft().apply_linear_phase(-3.0).plain_ifft().scale(1 / 32)
     assert_vector_eq(shifted.array, np.roll(data, 3), tol=1e-8)
+
+
+def test_merge_stats_and_cols():
+    """Partial-merge semantics (statistics.rs:211-250) — the cross-shard
+    reduction path."""
+    data = create_data(7, 1000)
+    parts = [bd.to_real_time_vec(data[:300]).statistics(),
+             bd.to_real_time_vec(data[300:]).statistics()]
+    # Fix indices to be global before merging (partials are per-chunk).
+    parts[1].min_index += 300
+    parts[1].max_index += 300
+    merged = bd.merge_stats(parts)
+    full = bd.to_real_time_vec(data).statistics()
+    assert merged.count == 1000
+    assert abs(merged.sum - full.sum) < 1e-9
+    assert abs(merged.rms - full.rms) < 1e-9
+    assert merged.min == full.min and merged.min_index == full.min_index
+    # Column-wise merge for split statistics.
+    s1 = bd.to_real_time_vec(data[:300]).statistics_split(3)
+    cols = bd.merge_stats_cols([s1, s1])
+    assert cols[0].count == 2 * s1[0].count
+    assert bd.Statistics.empty().count == 0
