@@ -55,11 +55,15 @@ def _interpolatef_core(x, fun, factor, delay, L, new_points):
     from fractions import Fraction
     int_factor = round(factor)
     n = x.shape[-1]
-    if (abs(factor - int_factor) < 1e-6 and int_factor >= 1
+    # The per-phase correlation fast paths require the tap window to fit in
+    # one revolution (2L+1 <= n); tiny vectors wrap multiple times and take
+    # the exact gather path.
+    fits = 2 * L + 1 <= n
+    if (fits and abs(factor - int_factor) < 1e-6 and int_factor >= 1
             and new_points == int_factor * n):
         return _interpolatef_integer_spectral(x, fun, int_factor, delay, L)
     frac = Fraction(factor).limit_denominator(64)
-    if (abs(float(frac) - factor) < 1e-9 and frac >= 1
+    if (fits and abs(float(frac) - factor) < 1e-9 and frac >= 1
             and n % frac.denominator == 0
             and new_points == n * frac.numerator // frac.denominator):
         return _interpolatef_rational_spectral(
@@ -87,6 +91,19 @@ def _interpolatef_gather(x, fun, factor, delay, L, new_points):
     return jnp.sum(windows * w, axis=-1)
 
 
+def _phase_correlations(x, taps):
+    """Per-phase circular correlations ``out_p[q] = sum_s x[(q+s) mod n] *
+    taps_p[s+L]`` — each phase is one MXU Toeplitz-matmul convolution with
+    the reversed tap vector (correlation == convolution with reversed
+    kernel; see conv_ops.toeplitz_conv).  taps: (P, 2L+1)."""
+    P = taps.shape[0]
+    outs = []
+    for p in range(P):
+        outs.append(conv_ops.toeplitz_conv(x, taps[p, ::-1],
+                                           jnp.iscomplexobj(x)))
+    return outs
+
+
 def _interpolatef_integer_spectral(x, fun, factor, delay, L):
     """Integer-factor polyphase fast path (the analog of the reference's
     SIMD path, interpolation.rs:191-290, built from per-phase kernels like
@@ -97,23 +114,16 @@ def _interpolatef_integer_spectral(x, fun, factor, delay, L):
 
         out[q*F + p] = sum_{s=-L..L} x[(q+s) mod n] * fun(s - p/F + delay)
 
-    as F circular correlations computed spectrally: one FFT of x, F tap
-    spectra, one batched IFFT — no gathers (TPU gathers are slow), and the
-    phase interleave is a reshape.
+    as F per-phase MXU correlations; the phase interleave is a reshape —
+    no gathers (TPU gathers are slow).
     """
     n = x.shape[-1]
     rdtype = jnp.zeros((), x.dtype).real.dtype
     s = jnp.arange(-L, L + 1, dtype=rdtype)
     p = jnp.arange(factor, dtype=rdtype)
     taps = fun.calc(s[None, :] - p[:, None] / factor + delay)  # (F, 2L+1)
-    cdtype = jnp.result_type(x.dtype, jnp.complex64)
-    # Correlation kernel on the circle: g_p[(-s) mod n] = taps_p[s + L].
-    g = jnp.zeros((factor, n), dtype=taps.dtype)
-    g = g.at[:, (-jnp.arange(-L, L + 1)) % n].add(taps)
-    K = jnp.fft.fft(g.astype(cdtype), axis=-1)
-    X = jnp.fft.fft(x.astype(cdtype), axis=-1)
-    out_p = jnp.fft.ifft(X[..., None, :] * K, axis=-1)  # (..., F, n)
-    out = jnp.swapaxes(out_p, -1, -2).reshape(x.shape[:-1] + (factor * n,))
+    outs = _phase_correlations(x, taps)
+    out = jnp.stack(outs, axis=-1).reshape(x.shape[:-1] + (factor * n,))
     if not jnp.iscomplexobj(x):
         return jnp.real(out).astype(x.dtype)
     return out
@@ -127,9 +137,9 @@ def _interpolatef_rational_spectral(x, fun, P, Q, delay, L):
         floor(i*Q/P) = k*Q + floor(p*Q/P),  frac = (p*Q mod P)/P
 
     so the output decomposes into P phases, each a circular correlation of
-    x with a fixed tap vector followed by a stride-Q decimation at offset
-    ``floor(p*Q/P)`` — one FFT of x, P tap spectra, P IFFTs, strided
-    slices.  Exactly equal to the scalar formula.  Requires Q | n.
+    x with a fixed tap vector (an MXU Toeplitz-matmul) followed by a
+    stride-Q decimation at offset ``floor(p*Q/P)``.  Exactly equal to the
+    scalar formula.  Requires Q | n.
     """
     n = x.shape[-1]
     rdtype = jnp.zeros((), x.dtype).real.dtype
@@ -139,14 +149,9 @@ def _interpolatef_rational_spectral(x, fun, P, Q, delay, L):
     offs = (p * Q) // P
     taps = fun.calc(s[None, :] - jnp.asarray(fracs, dtype=rdtype)[:, None]
                     + delay)                                  # (P, 2L+1)
-    cdtype = jnp.result_type(x.dtype, jnp.complex64)
-    g = jnp.zeros((P, n), dtype=taps.dtype)
-    g = g.at[:, (-jnp.arange(-L, L + 1)) % n].add(taps)
-    K = jnp.fft.fft(g.astype(cdtype), axis=-1)
-    X = jnp.fft.fft(x.astype(cdtype), axis=-1)
-    corr = jnp.fft.ifft(X[..., None, :] * K, axis=-1)         # (..., P, n)
+    corr = _phase_correlations(x, taps)
     k_count = n // Q
-    phases = [corr[..., i, offs[i]::Q][..., :k_count] for i in range(P)]
+    phases = [corr[i][..., offs[i]::Q][..., :k_count] for i in range(P)]
     out = jnp.stack(phases, axis=-1).reshape(x.shape[:-1] + (k_count * P,))
     if not jnp.iscomplexobj(x):
         return jnp.real(out).astype(x.dtype)

@@ -22,8 +22,12 @@ def timed(fn, *args, iters=10):
     @jax.jit
     def looped(*a):
         def step(_, carry):
+            # Each config folds `carry` into its *input*, so the body
+            # cannot be hoisted out of the loop; the returned carry is a
+            # tiny scalar derived from the output.
             out = fn(*a, carry)
-            return jnp.sum(jnp.abs(out.ravel()[:1])) + carry * 0.0
+            return (jnp.sum(jnp.abs(out.ravel()[:1]))
+                    .astype(jnp.float32) * jnp.float32(1e-20))
 
         return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
 
@@ -53,9 +57,9 @@ def main():
 
     def cfg1(x, w, carry):
         return jnp.abs(fft_ops.fft_shifted(
-            (x * (1.0 + carry * 0.0)).astype(jnp.complex64) * w))
+            (x + carry).astype(jnp.complex64) * w))
 
-    dt = timed(cfg1, sine, w1, iters=10)
+    dt = timed(cfg1, sine, w1, iters=50)
     results.append(("windowed_fft_magnitude_1m", n1 / dt / 1e6))
 
     # Config 2: 4M complex RC FIR.
@@ -67,10 +71,10 @@ def main():
     taps = jnp.asarray(np.asarray(rc.calc(t)))
 
     def cfg2(xr, xi, h, carry):
-        x = (xr + 1j * xi) * (1.0 + carry * 0.0)
+        x = (xr + carry) + 1j * xi
         return conv_ops.convolve_signal(x, h.astype(jnp.complex64), True)
 
-    dt = timed(cfg2, x_re, x_im, taps, iters=10)
+    dt = timed(cfg2, x_re, x_im, taps, iters=50)
     results.append(("rc_fir_4m", n2 / dt / 1e6))
 
     # Config 3: fractional resampling x1.5 of 1M audio samples
@@ -80,10 +84,10 @@ def main():
     a_im = jnp.asarray(rng.normal(size=n3).astype(np.float32))
 
     def cfg3(xr, xi, carry):
-        x = (xr + 1j * xi) * (1.0 + carry * 0.0)
+        x = (xr + carry) + 1j * xi
         return interp_ops.interpolatef(x, SincFunction(), 1.5, 0.0, 10, 1.0)
 
-    dt = timed(cfg3, a_re, a_im, iters=3)
+    dt = timed(cfg3, a_re, a_im, iters=20)
     results.append(("interpolatef_1_5x_1m", n3 / dt / 1e6))
 
     # Config 4: modulation chain (pulse shaping x10 + passband).
@@ -92,12 +96,12 @@ def main():
     s_im = jnp.asarray(rng.choice([-0.5, 0.5], n4).astype(np.float32))
 
     def cfg4(sr, si, carry):
-        iq = (sr + 1j * si) * (1.0 + carry * 0.0)
+        iq = (sr + carry) + 1j * si
         shaped = interp_ops.interpolatef(iq, RaisedCosineFunction(0.35),
                                          10.0, 0.0, 10, 1.0)
         return jnp.real(shaped)
 
-    dt = timed(cfg4, s_re, s_im, iters=3)
+    dt = timed(cfg4, s_re, s_im, iters=20)
     results.append(("modulation_chain_131k_symbols", 10 * n4 / dt / 1e6))
 
     # Config 5: 1024-channel channelizer + FM demod over 4M samples.
@@ -108,10 +112,10 @@ def main():
     proto = jnp.asarray((np.hamming(C * 8) / C).astype(np.float32))
 
     def cfg5(xr, xi, p, carry):
-        x = (xr + 1j * xi) * (1.0 + carry * 0.0)
+        x = (xr + carry) + 1j * xi
         return channelizer.channelize_and_demod(x, p, C)
 
-    dt = timed(cfg5, c_re, c_im, proto, iters=5)
+    dt = timed(cfg5, c_re, c_im, proto, iters=30)
     results.append(("channelizer_1024ch_4m", n5 / dt / 1e6))
 
     for name, msps in results:

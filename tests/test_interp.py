@@ -218,7 +218,7 @@ def test_interpolatef_integer_spectral_matches_gather():
     general gather path to numerical precision."""
     from basic_dsp_tpu.ops import interp_ops
     import jax.numpy as jnp
-    for n, F, L, delay in [(40, 2, 5, 0.0), (33, 3, 7, 1.0), (16, 8, 8, 0.5)]:
+    for n, F, L, delay in [(40, 2, 5, 0.0), (33, 3, 7, 1.0), (64, 8, 8, 0.5)]:
         x = multitone(n, n) + 1j * multitone(n + 1, n)
         xj = jnp.asarray(x)
         fast = interp_ops._interpolatef_integer_spectral(
