@@ -236,8 +236,14 @@ def convolve_function(x: jnp.ndarray, fun, ratio: float, conv_len: int,
     taps = fun.calc(s * ratio)
     if is_complex:
         taps = taps.astype(jnp.result_type(taps, jnp.complex64))
-    # out[i] = sum_s x[(i-s) mod n] taps[s]  — circular conv with taps at
-    # signed offsets s; fold onto the circle with accumulation.
+    if 2 * L + 1 <= n:
+        # The sampled kernel is a centered 2L+1-tap impulse response —
+        # exactly convolve_signal's contract (h[s+L] = fun(s*ratio)), so it
+        # rides the same dispatch (MXU Toeplitz for short kernels).
+        return convolve_signal(x, taps, is_complex or
+                               bool(jnp.iscomplexobj(taps)))
+    # Tiny vectors where the window wraps multiple times: fold the taps
+    # onto the circle with accumulation (the WrappingIterator semantics).
     g = jnp.zeros((n,), dtype=taps.dtype)
     g = g.at[jnp.arange(-L, L + 1) % n].add(taps)
     cdtype = jnp.result_type(x.dtype, g.dtype, jnp.complex64)
