@@ -123,6 +123,63 @@ def merge_list(vec: DspVector, sources):
     return vec.merge(list(sources))
 
 
+class _ForeignWindow(windows.WindowFunction):
+    """Window backed by a C function pointer
+    (reference ForeignWindowFunction, interop/src/lib.rs:244-290):
+    ``REAL fn(const void* data, size_t n, size_t points)``."""
+
+    def __init__(self, fn_ptr: int, data_ptr: int, is_symmetric: bool):
+        import ctypes
+        self.is_symmetric = bool(is_symmetric)
+        self._cb = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_void_p,
+                                    ctypes.c_size_t,
+                                    ctypes.c_size_t)(fn_ptr)
+        self._data = data_ptr
+
+    def window(self, n, length):
+        import jax.numpy as jnp
+        n_arr = np.atleast_1d(np.asarray(n))
+        points = int(np.asarray(length))
+        vals = np.array([self._cb(self._data, int(v), points)
+                         for v in n_arr], dtype=np.float64)
+        return jnp.asarray(vals.reshape(np.shape(n)))
+
+
+class _ForeignRealFunction(conv_types.RealImpulseResponse,
+                           conv_types.RealFrequencyResponse):
+    """Impulse/frequency response backed by a C function pointer
+    (reference Foreign{Real,Complex}ConvolutionFunction,
+    interop/src/lib.rs:292-377): ``REAL fn(const void* data, REAL x)``."""
+
+    def __init__(self, fn_ptr: int, data_ptr: int, is_symmetric: bool):
+        import ctypes
+        self.is_symmetric = bool(is_symmetric)
+        self._cb = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_void_p,
+                                    ctypes.c_double)(fn_ptr)
+        self._data = data_ptr
+
+    def _eval(self, x):
+        import jax.numpy as jnp
+        arr = np.asarray(x, dtype=np.float64)
+        vals = np.array([self._cb(self._data, float(v))
+                         for v in arr.ravel()], dtype=np.float64)
+        return jnp.asarray(vals.reshape(arr.shape))
+
+    def calc(self, x):
+        return self._eval(x)
+
+    def calc_freq(self, x):
+        return self._eval(x)
+
+
+def make_foreign_window(fn_ptr: int, data_ptr: int, is_symmetric: int):
+    return _ForeignWindow(fn_ptr, data_ptr, bool(is_symmetric))
+
+
+def make_foreign_real_fn(fn_ptr: int, data_ptr: int, is_symmetric: int):
+    return _ForeignRealFunction(fn_ptr, data_ptr, bool(is_symmetric))
+
+
 def call(vec: DspVector, method: str, *args) -> Tuple[int, Any]:
     """Executes ``vec.method(*args)``; returns (result_code, result).
 

@@ -151,8 +151,16 @@ def _interpolatef_rational_spectral(x, fun, P, Q, delay, L):
                     + delay)                                  # (P, 2L+1)
     corr = _phase_correlations(x, taps)
     k_count = n // Q
-    phases = [corr[i][..., offs[i]::Q][..., :k_count] for i in range(P)]
-    out = jnp.stack(phases, axis=-1).reshape(x.shape[:-1] + (k_count * P,))
+    # out[k*P + p] = corr_p[k*Q + offs[p]].  Strided slices are slow on
+    # TPU; select the per-phase offset with a one-hot contraction instead
+    # (contiguous streaming reads).
+    C = jnp.stack(corr, axis=-2)                              # (..., P, n)
+    C2 = C.reshape(C.shape[:-1] + (k_count, Q))               # (..., P, k, Q)
+    onehot = np.zeros((P, Q))
+    onehot[np.arange(P), offs] = 1.0
+    sel = jnp.asarray(onehot, dtype=C2.dtype)
+    out_kp = jnp.einsum("...pkq,pq->...kp", C2, sel)
+    out = out_kp.reshape(x.shape[:-1] + (k_count * P,))
     if not jnp.iscomplexobj(x):
         return jnp.real(out).astype(x.dtype)
     return out

@@ -65,6 +65,11 @@ typedef struct {
  * interop/src/lib.rs:244-377). */
 typedef double (*bdsp_map_real_fn)(double value, size_t index,
                                    const void *user_data);
+/* Custom window: fn(data, n, points) -> value (ForeignWindowFunction). */
+typedef double (*bdsp_window_fn)(const void *user_data, size_t n,
+                                 size_t points);
+/* Custom impulse/frequency response: fn(data, x) -> value. */
+typedef double (*bdsp_conv_fn)(const void *user_data, double x);
 
 /* Runtime ------------------------------------------------------------- */
 int32_t bdsp_init(void);
@@ -225,7 +230,34 @@ const char *bdsp_last_error(void);
   VectorResult map_inplace_real##X(DspVec *v, bdsp_map_real_fn fn,             \
                                    const void *user_data);                     \
   ScalarResult map_aggregate_real##X(DspVec *v, bdsp_map_real_fn fn,           \
-                                     const void *user_data);
+                                     const void *user_data);                   \
+  /* custom (C-callback) windows and convolution functions */                  \
+  VectorResult apply_custom_window##X(DspVec *v, bdsp_window_fn fn,            \
+                                      const void *user_data,                   \
+                                      int32_t is_symmetric);                   \
+  VectorResult unapply_custom_window##X(DspVec *v, bdsp_window_fn fn,          \
+                                        const void *user_data,                 \
+                                        int32_t is_symmetric);                 \
+  VectorResult windowed_custom_fft##X(DspVec *v, bdsp_window_fn fn,            \
+                                      const void *user_data,                   \
+                                      int32_t is_symmetric);                   \
+  VectorResult windowed_custom_ifft##X(DspVec *v, bdsp_window_fn fn,           \
+                                       const void *user_data,                  \
+                                       int32_t is_symmetric);                  \
+  VectorResult convolve_custom##X(DspVec *v, bdsp_conv_fn fn,                  \
+                                  const void *user_data,                       \
+                                  int32_t is_symmetric, REAL ratio,            \
+                                  size_t length);                              \
+  VectorResult multiply_frequency_response_custom##X(                          \
+      DspVec *v, bdsp_conv_fn fn, const void *user_data,                       \
+      int32_t is_symmetric, REAL ratio);                                       \
+  VectorResult interpolatef_custom##X(DspVec *v, bdsp_conv_fn fn,              \
+                                      const void *user_data,                   \
+                                      int32_t is_symmetric, REAL factor,       \
+                                      REAL delay, size_t conv_len);            \
+  VectorResult interpolatei_custom##X(DspVec *v, bdsp_conv_fn fn,              \
+                                      const void *user_data,                   \
+                                      int32_t is_symmetric, int32_t factor);
 
 BDSP_DECLARE(32, float)
 BDSP_DECLARE(64, double)

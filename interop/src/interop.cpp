@@ -164,6 +164,16 @@ PyObject *make_fun(const char *support_fn, int32_t function_id,
   return fun;
 }
 
+PyObject *make_custom(const char *maker, const void *fn,
+                      const void *user_data, int32_t is_symmetric) {
+  PyObject *args = Py_BuildValue("(KKi)", (unsigned long long)(uintptr_t)fn,
+                                 (unsigned long long)(uintptr_t)user_data,
+                                 is_symmetric);
+  PyObject *obj = support_call(maker, args);
+  Py_DECREF(args);
+  return obj;
+}
+
 PyObject *make_window(int32_t window_id) {
   PyObject *args = Py_BuildValue("(i)", window_id);
   PyObject *w = support_call("translate_window", args);
@@ -892,6 +902,85 @@ const char *bdsp_last_error(void) { return g_last_error.c_str(); }
   ScalarResult map_aggregate_real##X(DspVec *v, bdsp_map_real_fn fn,           \
                                      const void *user_data) {                  \
     return map_aggregate_impl(v, fn, user_data);                               \
+  }                                                                            \
+  VectorResult apply_custom_window##X(DspVec *v, bdsp_window_fn fn,            \
+                                      const void *user_data,                   \
+                                      int32_t is_symmetric) {                  \
+    Gil gil2;                                                                  \
+    PyObject *w = make_custom("make_foreign_window", (const void *)fn,         \
+                              user_data, is_symmetric);                        \
+    if (!w) return VectorResult{-1, v};                                        \
+    return dispatch(v, "apply_window", Py_BuildValue("(N)", w));               \
+  }                                                                            \
+  VectorResult unapply_custom_window##X(DspVec *v, bdsp_window_fn fn,          \
+                                        const void *user_data,                 \
+                                        int32_t is_symmetric) {                \
+    Gil gil2;                                                                  \
+    PyObject *w = make_custom("make_foreign_window", (const void *)fn,         \
+                              user_data, is_symmetric);                        \
+    if (!w) return VectorResult{-1, v};                                        \
+    return dispatch(v, "unapply_window", Py_BuildValue("(N)", w));             \
+  }                                                                            \
+  VectorResult windowed_custom_fft##X(DspVec *v, bdsp_window_fn fn,            \
+                                      const void *user_data,                   \
+                                      int32_t is_symmetric) {                  \
+    Gil gil2;                                                                  \
+    PyObject *w = make_custom("make_foreign_window", (const void *)fn,         \
+                              user_data, is_symmetric);                        \
+    if (!w) return VectorResult{-1, v};                                        \
+    return dispatch(v, "windowed_fft", Py_BuildValue("(N)", w));               \
+  }                                                                            \
+  VectorResult windowed_custom_ifft##X(DspVec *v, bdsp_window_fn fn,           \
+                                       const void *user_data,                  \
+                                       int32_t is_symmetric) {                 \
+    Gil gil2;                                                                  \
+    PyObject *w = make_custom("make_foreign_window", (const void *)fn,         \
+                              user_data, is_symmetric);                        \
+    if (!w) return VectorResult{-1, v};                                        \
+    return dispatch(v, "windowed_ifft", Py_BuildValue("(N)", w));              \
+  }                                                                            \
+  VectorResult convolve_custom##X(DspVec *v, bdsp_conv_fn fn,                  \
+                                  const void *user_data,                       \
+                                  int32_t is_symmetric, REAL ratio,            \
+                                  size_t length) {                             \
+    Gil gil2;                                                                  \
+    PyObject *f = make_custom("make_foreign_real_fn", (const void *)fn,        \
+                              user_data, is_symmetric);                        \
+    if (!f) return VectorResult{-1, v};                                        \
+    return dispatch(v, "convolve",                                             \
+                    Py_BuildValue("(Ndn)", f, (double)ratio,                   \
+                                  (Py_ssize_t)length));                        \
+  }                                                                            \
+  VectorResult multiply_frequency_response_custom##X(                          \
+      DspVec *v, bdsp_conv_fn fn, const void *user_data,                       \
+      int32_t is_symmetric, REAL ratio) {                                      \
+    Gil gil2;                                                                  \
+    PyObject *f = make_custom("make_foreign_real_fn", (const void *)fn,        \
+                              user_data, is_symmetric);                        \
+    if (!f) return VectorResult{-1, v};                                        \
+    return dispatch(v, "multiply_frequency_response",                          \
+                    Py_BuildValue("(Nd)", f, (double)ratio));                  \
+  }                                                                            \
+  VectorResult interpolatef_custom##X(DspVec *v, bdsp_conv_fn fn,              \
+                                      const void *user_data,                   \
+                                      int32_t is_symmetric, REAL factor,       \
+                                      REAL delay, size_t conv_len) {           \
+    Gil gil2;                                                                  \
+    PyObject *f = make_custom("make_foreign_real_fn", (const void *)fn,        \
+                              user_data, is_symmetric);                        \
+    if (!f) return VectorResult{-1, v};                                        \
+    return dispatch(v, "interpolatef",                                         \
+                    Py_BuildValue("(Nddn)", f, (double)factor,                 \
+                                  (double)delay, (Py_ssize_t)conv_len));       \
+  }                                                                            \
+  VectorResult interpolatei_custom##X(DspVec *v, bdsp_conv_fn fn,              \
+                                      const void *user_data,                   \
+                                      int32_t is_symmetric, int32_t factor) {  \
+    Gil gil2;                                                                  \
+    PyObject *f = make_custom("make_foreign_real_fn", (const void *)fn,        \
+                              user_data, is_symmetric);                        \
+    if (!f) return VectorResult{-1, v};                                        \
+    return dispatch(v, "interpolatei", Py_BuildValue("(Ni)", f, factor));      \
   }                                                                            \
   }  // extern "C"
 

@@ -286,3 +286,40 @@ def test_prec_reductions_c_abi(lib):
     assert s.result_code == 0
     assert abs(s.result - data.sum()) < 1e-9
     lib.delete_vector64(v)
+
+
+WINDOW_CB = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_void_p,
+                             ctypes.c_size_t, ctypes.c_size_t)
+CONV_CB = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_void_p, ctypes.c_double)
+
+
+def test_apply_custom_window_c_callback(lib):
+    lib.apply_custom_window64.restype = VectorResult
+    lib.apply_custom_window64.argtypes = [ctypes.c_void_p, WINDOW_CB,
+                                          ctypes.c_void_p, ctypes.c_int32]
+    cb = WINDOW_CB(lambda data, n, points: float(n + 1))
+    v = make_vec(lib, [1.0, 2.0, 3.0])
+    res = lib.apply_custom_window64(v, cb, None, 1)
+    assert res.result_code == 0
+    np.testing.assert_allclose(read_vec(lib, res.vector, 3),
+                               [1.0, 4.0, 9.0])
+    lib.delete_vector64(res.vector)
+
+
+def test_convolve_custom_c_callback(lib):
+    lib.convolve_custom64.restype = VectorResult
+    lib.convolve_custom64.argtypes = [ctypes.c_void_p, CONV_CB,
+                                      ctypes.c_void_p, ctypes.c_int32,
+                                      ctypes.c_double, ctypes.c_size_t]
+    # Triangle impulse response via C callback.
+    cb = CONV_CB(lambda data, x: max(0.0, 1.0 - abs(x)))
+    data = np.zeros(16)
+    data[8] = 1.0
+    v = make_vec(lib, data)
+    res = lib.convolve_custom64(v, cb, None, 1, 0.5, 3)
+    assert res.result_code == 0
+    out = read_vec(lib, res.vector, 16)
+    expected = np.zeros(16)
+    expected[6:11] = [0, 0.5, 1.0, 0.5, 0]
+    np.testing.assert_allclose(out, expected, atol=1e-9)
+    lib.delete_vector64(res.vector)
