@@ -157,26 +157,31 @@ def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
     m_eff = length
     q = h_eff[..., ::-1]  # taps over forward offsets e = 0..m_eff-1
     dtype = jnp.result_type(x.dtype, q.dtype)
-    # z[i] = x[i - (m_eff - c)] so that out[i] = sum_e z[i+e] q[e].
-    z = jnp.roll(x, m_eff - c, axis=-1).astype(dtype)
     R = -(-n // 128)
     n_shifts = -(-(m_eff + 127) // 128)  # row shifts needed: e up to m_eff-1
-    # Wrapped extension supplies both the circular boundary and the row
-    # shifts via plain slicing (tile + slice — no gathers).
+    # Need ext[i] = z[i mod n] with z[i] = x[(i - (m_eff - c)) mod n]: build
+    # the wrapped extension directly from slices of x (no roll, no tile —
+    # one concat materialization instead of two full copies).
     need = R * 128 + 128 * n_shifts
-    reps = -(-need // n)
-    ext = jnp.tile(z, [1] * (z.ndim - 1) + [reps + 1])[..., :need]
+    k = (m_eff - c) % n if n else 0
+    pieces = [x[..., n - k:]] if k else []
+    remaining = need - k
+    while remaining > 0:
+        take = min(remaining, n)
+        pieces.append(x[..., :take])
+        remaining -= take
+    ext = jnp.concatenate(pieces, axis=-1).astype(dtype)
     # Tap matrices: T_a[j, col] = q[128*a + j - col] where defined.
     j = np.arange(128)[:, None]
     col = np.arange(128)[None, :]
-    out = jnp.zeros(z.shape[:-1] + (R * 128,), dtype=dtype)
+    out = jnp.zeros(x.shape[:-1] + (R * 128,), dtype=dtype)
     for a in range(n_shifts):
         e = 128 * a + j - col
         mask = (e >= 0) & (e < m_eff)
         idx = np.where(mask, e, 0)
         Ta = jnp.where(jnp.asarray(mask), q[..., idx], 0).astype(dtype)
         block = ext[..., 128 * a: 128 * a + R * 128].reshape(
-            z.shape[:-1] + (R, 128))
+            x.shape[:-1] + (R, 128))
         out = out + jnp.matmul(block, Ta).reshape(out.shape)
     out = out[..., :n]
     return out if is_complex else jnp.real(out).astype(x.dtype)
