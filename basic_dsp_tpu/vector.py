@@ -302,6 +302,14 @@ class DspVector:
             return self._invalid(reason or r)
         return None
 
+    def _check_delta(self, other: "DspVector"):
+        """Sample spacings must agree within 10% for convolution
+        (reference assert_meta_data!, convolution.rs:257-268)."""
+        ratio = self._delta / other._delta if other._delta else float("inf")
+        if ratio > 1.1 or ratio < 0.9:
+            return self._invalid(ErrorReason.INPUT_META_DATA_MUST_AGREE)
+        return None
+
     def _binary_check(self, other: "DspVector", same_size=True):
         if (self.is_complex() != other.is_complex()
                 or self._domain != other._domain):
@@ -899,7 +907,8 @@ class DspVector:
                         cfg: Optional[_config.DspConfig] = None) -> "DspVector":
         """Circular centered convolution (see ops.conv_ops)."""
         bad = (self._binary_check(impulse_response, same_size=False)
-               or self._check(domain=DataDomain.TIME))
+               or self._check(domain=DataDomain.TIME)
+               or self._check_delta(impulse_response))
         if bad is not None:
             return bad
         if self.points() < impulse_response.points():

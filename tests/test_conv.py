@@ -216,3 +216,14 @@ def test_dispatch_respects_config():
         overlap_save_min_len=10**9, direct_conv_min_len=10**9))
     assert_vector_eq(forced_blocked.array, default.array, tol=1e-6)
     assert_vector_eq(forced_fft.array, default.array, tol=1e-6)
+
+
+def test_convolve_signal_delta_mismatch():
+    """Sample spacings differing by >10% must be rejected
+    (convolution.rs:257-268)."""
+    a = bd.to_complex_time_vec(create_complex_data(1, 100), delta=1.0)
+    b = bd.to_complex_time_vec(create_complex_data(2, 5), delta=2.0)
+    with pytest.raises(bd.DspError):
+        a.convolve_signal(b)
+    ok = bd.to_complex_time_vec(create_complex_data(2, 5), delta=1.05)
+    a.convolve_signal(ok)  # within 10% — fine
