@@ -71,6 +71,14 @@ class DspMatrix(DspVector):
     def row(self, i: int) -> DspVector:
         return self.rows()[i]
 
+    def to_numpy(self) -> np.ndarray:
+        from .vector import _jit_unary
+        if self.is_complex():
+            re = np.asarray(_jit_unary(jnp.real)(self._data))
+            im = np.asarray(_jit_unary(jnp.imag)(self._data))
+            return re + 1j * im
+        return np.asarray(self._data)
+
     @classmethod
     def _flavor_class(cls, space: NumberSpace, domain: DataDomain):
         return _MAT_FLAVORS[(space, domain)]
@@ -80,7 +88,7 @@ class DspMatrix(DspVector):
         return GenDspMatrix
 
     def interleaved(self) -> np.ndarray:
-        arr = np.asarray(self._data)
+        arr = self.to_numpy()
         if self.is_complex():
             out = np.empty(arr.shape[:-1] + (2 * arr.shape[-1],),
                            dtype=arr.real.dtype)

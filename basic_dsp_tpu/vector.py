@@ -180,7 +180,8 @@ class DspVector:
         if space is None or domain is None:
             raise ValueError("GenDspVector requires explicit domain and space")
         if space == NumberSpace.COMPLEX and not jnp.iscomplexobj(data):
-            data = data.astype(_complex_dtype_for(data.dtype))
+            cdtype = _complex_dtype_for(data.dtype)
+            data = _jit_unary_static(_astype)(data, jnp.dtype(cdtype).name)
         if space == NumberSpace.REAL and jnp.iscomplexobj(data):
             raise ValueError("real vector constructed from complex data")
         self._data = data
@@ -265,13 +266,23 @@ class DspVector:
         """Reference vector_types/mod.rs:209-216."""
         return self.points() == 0 and math.isnan(self._delta)
 
+    def to_numpy(self) -> np.ndarray:
+        """Device -> host copy.  Complex data transfers as two real planes
+        (some TPU runtimes cannot move complex arrays across the host
+        boundary)."""
+        if self.is_complex():
+            re = np.asarray(_jit_unary(jnp.real)(self._data))
+            im = np.asarray(_jit_unary(jnp.imag)(self._data))
+            return re + 1j * im
+        return np.asarray(self._data)
+
     def __getitem__(self, idx):
-        return np.asarray(self._data)[idx]
+        return self.to_numpy()[idx]
 
     def interleaved(self) -> np.ndarray:
         """Interleaved float view ([re0, im0, re1, im1, …] for complex) —
         the reference's raw ``data(..)`` layout, for test parity."""
-        arr = np.asarray(self._data)
+        arr = self.to_numpy()
         if self.is_complex():
             out = np.empty(2 * arr.shape[0], dtype=arr.real.dtype)
             out[0::2] = arr.real
@@ -1086,6 +1097,14 @@ _FLAVORS = {
 # Constructors (reference to_from_vec_conversions.rs:16-127)
 # ----------------------------------------------------------------------
 def _from_interleaved_complex(data) -> jnp.ndarray:
+    # Complex data enters the device as two real planes combined under jit
+    # (complex host->device transfers are unsupported on some TPU
+    # runtimes).
+    if isinstance(data, (np.ndarray, list, tuple)) and             np.iscomplexobj(np.asarray(data)):
+        host = np.asarray(data)
+        return _jit_binary(_combine_real_imag)(
+            jnp.asarray(np.ascontiguousarray(host.real)),
+            jnp.asarray(np.ascontiguousarray(host.imag)))
     data = jnp.asarray(data)
     if jnp.iscomplexobj(data):
         return data
@@ -1095,8 +1114,7 @@ def _from_interleaved_complex(data) -> jnp.ndarray:
     if n % 2 != 0:
         return jnp.zeros((0,), dtype=_complex_dtype_for(data.dtype))
     pairs = data.reshape(-1, 2)
-    cdtype = _complex_dtype_for(data.dtype)
-    return pairs[:, 0].astype(cdtype) + 1j * pairs[:, 1].astype(cdtype)
+    return _jit_binary(_combine_real_imag)(pairs[:, 0], pairs[:, 1])
 
 
 def to_real_time_vec(data, delta: float = 1.0) -> RealTimeVector:
@@ -1156,8 +1174,7 @@ def interleave_to_complex_time_vec(real, imag,
     imag = jnp.asarray(imag)
     if real.shape != imag.shape:
         raise DspError(ErrorReason.INPUT_MUST_HAVE_THE_SAME_SIZE)
-    cdtype = _complex_dtype_for(real.dtype)
-    return ComplexTimeVector(real.astype(cdtype) + 1j * imag.astype(cdtype),
+    return ComplexTimeVector(_jit_binary(_combine_real_imag)(real, imag),
                              delta)
 
 

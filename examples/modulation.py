@@ -42,13 +42,13 @@ def main(out_dir="."):
         complex_vec = bd.interleave_to_complex_time_vec(ch1, ch2)
         shaped = complex_vec.interpolatef(
             bd.RaisedCosineFunction(0.35), 10.0, 0.0, 10)
-        arr = np.asarray(shaped.array)
+        arr = shaped.to_numpy()
         np.savetxt(os.path.join(out_dir, f"baseband_time{i}.csv"),
                    np.stack([arr.real, arr.imag], axis=1), delimiter=", ")
 
         real = shaped.to_real()
         np.savetxt(os.path.join(out_dir, f"modulated_time{i}.csv"),
-                   np.asarray(real.array))
+                   real.to_numpy())
     print("wrote baseband_time{0..2}.csv and modulated_time{0..2}.csv")
 
 

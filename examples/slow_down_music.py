@@ -22,8 +22,8 @@ def main(source, dest):
     # complex vector so both channels interpolate together.
     complex_vec = bd.interleave_to_complex_time_vec(ch1, ch2)
     slowed = complex_vec.interpolatef(bd.SincFunction(), 1.5, 0.0, 10)
-    write_stereo_wav(dest, np.real(np.asarray(slowed.array)),
-                     np.imag(np.asarray(slowed.array)), rate)
+    out = slowed.to_numpy()
+    write_stereo_wav(dest, out.real, out.imag, rate)
     print(f"Finished processing {slowed.points()} samples")
 
 

@@ -425,6 +425,16 @@ int32_t bdsp_init(void) {
     code += std::string("jax.config.update('jax_platforms', '") + platform +
             "')\n";
   }
+  // The 64-bit facade is genuinely double-precision, like the reference's
+  // f64 surface; without x64 jax silently truncates to f32.  Opt out with
+  // BDSP_NO_X64=1 (e.g. for TPU-only deployments).
+  if (!getenv("BDSP_NO_X64")) {
+    code += "import jax\n"
+            "try:\n"
+            "    jax.config.update('jax_enable_x64', True)\n"
+            "except Exception:\n"
+            "    pass\n";
+  }
   if (PyRun_SimpleString(code.c_str()) != 0) {
     g_last_error = "failed to set sys.path";
     return -1;
