@@ -151,6 +151,8 @@ class _ForeignRealFunction(conv_types.RealImpulseResponse,
     (reference Foreign{Real,Complex}ConvolutionFunction,
     interop/src/lib.rs:292-377): ``REAL fn(const void* data, REAL x)``."""
 
+    _no_jit = True  # host callback: must evaluate eagerly, never traced
+
     def __init__(self, fn_ptr: int, data_ptr: int, is_symmetric: bool):
         import ctypes
         self.is_symmetric = bool(is_symmetric)

@@ -82,6 +82,14 @@ def _jit_unary_static(fn):
     return jax.jit(fn, static_argnums=(1,))
 
 
+@_functools.lru_cache(maxsize=None)
+def _jit_static(fn, *static):
+    """jit of ``fn(*arrays, *static)`` with the trailing arguments baked in
+    (cached per (fn, statics)).  Used to run composite ops under jit from
+    the eager API — required for complex dtypes on some TPU runtimes."""
+    return jax.jit(lambda *arrays: fn(*arrays, *static))
+
+
 def _square(x):
     return x * x
 
@@ -157,6 +165,14 @@ def _astype(x, dtype_name):
 
 def _window_div(x, w):
     return x / w.astype(x.dtype)
+
+
+def _resize(x, points):
+    n = x.shape[-1]
+    if points <= n:
+        return x[..., :points]
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, points - n)]
+    return jnp.pad(x, widths)
 
 
 class DspVector:
@@ -490,8 +506,9 @@ class DspVector:
         bad = self._check(complex_=True)
         if bad is not None:
             return bad
-        return self._make(conv_ops.multiply_complex_exponential(
-            self._data, a, b, self._delta))
+        return self._make(_jit_static(conv_ops.multiply_complex_exponential,
+                                      float(a), float(b),
+                                      self._delta)(self._data))
 
     def _to_real_flavor(self, fn) -> "DspVector":
         bad = self._check(complex_=True)
@@ -574,15 +591,15 @@ class DspVector:
     def zero_pad(self, points: int, option: str = "end") -> "DspVector":
         if points * (2 if self.is_complex() else 1) <= len(self):
             return self._invalid(ErrorReason.INVALID_ARGUMENT_LENGTH)
-        return self._make(reorg_ops.zero_pad(self._data, points, option))
+        return self._make(_jit_static(reorg_ops.zero_pad, points, option)(self._data))
 
     def zero_interleave(self, factor: int) -> "DspVector":
-        return self._make(reorg_ops.zero_interleave(self._data, factor))
+        return self._make(_jit_static(reorg_ops.zero_interleave, factor)(self._data))
 
     def split_into(self, n: int) -> List["DspVector"]:
         if n == 0 or self.points() % n != 0:
             raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH)
-        parts = reorg_ops.split_into(self._data, n)
+        parts = _jit_static(reorg_ops.split_into, n)(self._data)
         return [self._make(parts[i]) for i in range(n)]
 
     def merge(self, sources: Sequence["DspVector"]) -> "DspVector":
@@ -592,16 +609,12 @@ class DspVector:
         if any(s.points() != n0 for s in sources):
             raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH)
         stacked = jnp.stack([s._data for s in sources])
-        return self._make(reorg_ops.merge(stacked))
+        return self._make(_jit_unary(reorg_ops.merge)(stacked))
 
     def resize(self, points: int) -> "DspVector":
         """Shrink (truncate) or grow (zero-extend) to ``points``
         (reference vec_impl_and_indexers.rs ResizeOps)."""
-        n = self.points()
-        if points <= n:
-            return self._make(self._data[..., :points])
-        widths = [(0, 0)] * (self._data.ndim - 1) + [(0, points - n)]
-        return self._make(jnp.pad(self._data, widths))
+        return self._make(_jit_static(_resize, points)(self._data))
 
     # ------------------------------------------------------------------
     # Diff / cumsum (reference general/diff_sum.rs)
@@ -952,8 +965,14 @@ class DspVector:
         from .conv_types import ComplexImpulseResponse
         if isinstance(function, ComplexImpulseResponse) and not self.is_complex():
             return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
-        out = conv_ops.convolve_function(self._data, function, ratio, length,
-                                         self.is_complex())
+        if getattr(function, "_no_jit", False):
+            out = conv_ops.convolve_function(self._data, function,
+                                             float(ratio), int(length),
+                                             self.is_complex())
+        else:
+            out = _jit_static(conv_ops.convolve_function, function,
+                              float(ratio), int(length),
+                              self.is_complex())(self._data)
         if jnp.iscomplexobj(out) and not self.is_complex():
             out = jnp.real(out).astype(self._data.dtype)
         return self._make(out)
@@ -970,9 +989,14 @@ class DspVector:
                 and not self.is_complex()):
             return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
         calc = frequency_response.calc_freq
-        out = conv_ops.multiply_function(
-            self._data, calc, ratio, is_fft_shifted=False,
-            is_symmetric=frequency_response.is_symmetric)
+        if getattr(frequency_response, "_no_jit", False):
+            out = conv_ops.multiply_function(
+                self._data, calc, float(ratio), False,
+                frequency_response.is_symmetric)
+        else:
+            out = _jit_static(conv_ops.multiply_function, calc, float(ratio),
+                              False,
+                              frequency_response.is_symmetric)(self._data)
         return self._make(out)
 
     def prepare_argument(self, padded: bool = False) -> "DspVector":
@@ -981,7 +1005,7 @@ class DspVector:
                or self._check(complex_=True))
         if bad is not None:
             return bad
-        out = conv_ops.prepare_argument(self._data, padded)
+        out = _jit_static(conv_ops.prepare_argument, bool(padded))(self._data)
         return self._make(out, delta=self._fft_delta(),
                           domain=DataDomain.FREQUENCY)
 
@@ -997,7 +1021,7 @@ class DspVector:
         if (prepared._domain != DataDomain.FREQUENCY
                 or not prepared.is_complex()):
             return self._invalid(ErrorReason.INPUT_MUST_BE_IN_TIME_DOMAIN)
-        out = conv_ops.correlate(self._data, prepared._data)
+        out = _jit_binary(conv_ops.correlate)(self._data, prepared._data)
         return self._make(out)
 
     # ------------------------------------------------------------------
@@ -1006,18 +1030,29 @@ class DspVector:
     # ------------------------------------------------------------------
     def interpolatef(self, function, interpolation_factor: float,
                      delay: float, conv_len: int) -> "DspVector":
-        out = interp_ops.interpolatef(self._data, function,
-                                      interpolation_factor, delay, conv_len,
-                                      self._delta)
+        if getattr(function, "_no_jit", False):
+            out = interp_ops.interpolatef(self._data, function,
+                                          float(interpolation_factor),
+                                          float(delay), int(conv_len),
+                                          self._delta)
+        else:
+            out = _jit_static(interp_ops.interpolatef, function,
+                              float(interpolation_factor), float(delay),
+                              int(conv_len), self._delta)(self._data)
         return self._make(out)
 
     def interpolatei(self, function, interpolation_factor: int) -> "DspVector":
         if not function.is_symmetric and not self.is_complex():
             return self._invalid(
                 ErrorReason.ARGUMENT_FUNCTION_MUST_BE_SYMMETRIC)
-        out = interp_ops.interpolatei(self._data, function,
-                                      interpolation_factor,
-                                      self.is_complex())
+        if getattr(function, "_no_jit", False):
+            out = interp_ops.interpolatei(self._data, function,
+                                          int(interpolation_factor),
+                                          self.is_complex())
+        else:
+            out = _jit_static(interp_ops.interpolatei, function,
+                              int(interpolation_factor),
+                              self.is_complex())(self._data)
         return self._make(out)
 
     def interpolate(self, function, target_points: int,
@@ -1027,32 +1062,41 @@ class DspVector:
             return self._invalid(
                 ErrorReason.ARGUMENT_FUNCTION_MUST_BE_SYMMETRIC)
         factor = target_points / self.points()
-        out = interp_ops.interpolate(self._data, function, target_points,
-                                     delay, self._delta, self.is_complex())
+        if function is not None and getattr(function, "_no_jit", False):
+            out = interp_ops.interpolate(self._data, function,
+                                         int(target_points), float(delay),
+                                         self._delta, self.is_complex())
+        else:
+            out = _jit_static(interp_ops.interpolate, function,
+                              int(target_points), float(delay), self._delta,
+                              self.is_complex())(self._data)
         return self._make(out, delta=self._delta / factor)
 
     def interpft(self, target_points: int) -> "DspVector":
         return self.interpolate(None, target_points, 0.0)
 
     def decimatei(self, decimation_factor: int, delay: int) -> "DspVector":
-        return self._make(interp_ops.decimatei(self._data, decimation_factor,
-                                               delay))
+        return self._make(_jit_static(interp_ops.decimatei,
+                                      int(decimation_factor),
+                                      int(delay))(self._data))
 
     def interpolate_lin(self, interpolation_factor: float,
                         delay: float) -> "DspVector":
         bad = self._check(complex_=False)
         if bad is not None:
             return bad
-        return self._make(interp_ops.interpolate_lin(
-            self._data, interpolation_factor, delay))
+        return self._make(_jit_static(interp_ops.interpolate_lin,
+                                      float(interpolation_factor),
+                                      float(delay))(self._data))
 
     def interpolate_hermite(self, interpolation_factor: float,
                             delay: float) -> "DspVector":
         bad = self._check(complex_=False)
         if bad is not None:
             return bad
-        return self._make(interp_ops.interpolate_hermite(
-            self._data, interpolation_factor, delay))
+        return self._make(_jit_static(interp_ops.interpolate_hermite,
+                                      float(interpolation_factor),
+                                      float(delay))(self._data))
 
 
 class RealTimeVector(DspVector):
