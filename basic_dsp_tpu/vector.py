@@ -82,7 +82,7 @@ def _jit_unary_static(fn):
     return jax.jit(fn, static_argnums=(1,))
 
 
-@_functools.lru_cache(maxsize=None)
+@_functools.lru_cache(maxsize=512)
 def _jit_static(fn, *static):
     """jit of ``fn(*arrays, *static)`` with the trailing arguments baked in
     (cached per (fn, statics)).  Used to run composite ops under jit from

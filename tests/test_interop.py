@@ -323,3 +323,20 @@ def test_convolve_custom_c_callback(lib):
     expected[6:11] = [0, 0.5, 1.0, 0.5, 0]
     np.testing.assert_allclose(out, expected, atol=1e-9)
     lib.delete_vector64(res.vector)
+
+
+def test_f32_surface(lib):
+    """The 32-bit facade works alongside the 64-bit one."""
+    lib.new32.restype = ctypes.c_void_p
+    lib.new32.argtypes = [ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+                          ctypes.c_size_t, ctypes.c_float]
+    lib.get_value32.restype = ctypes.c_float
+    lib.get_value32.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    lib.real_offset32.restype = VectorResult
+    lib.real_offset32.argtypes = [ctypes.c_void_p, ctypes.c_float]
+    lib.delete_vector32.argtypes = [ctypes.c_void_p]
+    v = lib.new32(0, 0, 1.5, 64, 1.0)
+    res = lib.real_offset32(v, 2.5)
+    assert res.result_code == 0
+    assert abs(lib.get_value32(res.vector, 0) - 4.0) < 1e-6
+    lib.delete_vector32(res.vector)
