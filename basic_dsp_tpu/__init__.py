@@ -61,6 +61,7 @@ from .vector import (
     to_real_time_vec_par,
 )
 from . import autotune
+from . import io
 from .windows import (
     BlackmanHarrisWindow,
     HammingWindow,
