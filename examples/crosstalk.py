@@ -19,29 +19,15 @@ import basic_dsp_tpu as bd
 
 
 def read_stereo_wav(path):
-    with wave.open(path, "rb") as r:
-        assert r.getnchannels() == 2, "expect stereo"
-        n = r.getnframes()
-        raw = r.readframes(n)
-        width = r.getsampwidth()
-        if width == 2:
-            data = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32767.0
-        elif width == 4:
-            data = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483647.0
-        else:
-            raise ValueError(f"unsupported sample width {width}")
-        frames = data.reshape(-1, 2)
-        return frames[:, 0], frames[:, 1], r.getframerate()
+    from basic_dsp_tpu import io as bdio
+    frames, rate = bdio.read_wav(path)
+    assert frames.shape[1] == 2, "expect stereo"
+    return frames[:, 0], frames[:, 1], rate
 
 
 def write_stereo_wav(path, ch1, ch2, rate):
-    frames = np.stack([ch1, ch2], axis=1).reshape(-1)
-    pcm = np.clip(frames * 32767.0, -32768, 32767).astype(np.int16)
-    with wave.open(path, "wb") as w:
-        w.setnchannels(2)
-        w.setsampwidth(2)
-        w.setframerate(rate)
-        w.writeframes(pcm.tobytes())
+    from basic_dsp_tpu import io as bdio
+    bdio.write_wav(path, np.stack([ch1, ch2], axis=1), rate, bits=16)
 
 
 def main(source, dest):

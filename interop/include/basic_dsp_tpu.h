@@ -75,6 +75,13 @@ typedef double (*bdsp_conv_fn)(const void *user_data, double x);
 int32_t bdsp_init(void);
 const char *bdsp_last_error(void);
 
+/* WAV IO (native, no Python involved) --------------------------------- */
+float *bdsp_read_wav(const char *path, int32_t *channels, int32_t *rate,
+                     int64_t *frames);
+int32_t bdsp_write_wav(const char *path, const float *data, int32_t channels,
+                       int32_t rate, int64_t frames, int32_t bits);
+void bdsp_free(void *p);
+
 /* Per-precision surface.  X = 32 or 64. ------------------------------- */
 #define BDSP_DECLARE(X, REAL)                                                  \
   DspVec *new##X(int32_t is_complex, int32_t domain, REAL init_value,          \
