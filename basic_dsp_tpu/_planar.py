@@ -1,0 +1,156 @@
+"""Planar complex representation for hostile runtimes.
+
+Some TPU runtimes (the axon tunnel here) cannot pass complex arrays across
+jit program boundaries (as inputs, outputs, or host transfers) — support is
+intermittent at best.  In planar mode every complex array that would cross
+a program boundary travels as a :class:`PlanarComplex` pytree of two real
+planes; the complex view exists only *inside* traced computations.
+
+The whole vector API funnels device computation through :func:`call`
+(see vector.py), so enabling the mode is transparent to users.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_mode: Optional[bool] = None
+
+
+def set_planar_complex(enabled: bool) -> None:
+    """Force planar-complex mode on/off (default: auto-detect axon)."""
+    global _mode
+    _mode = bool(enabled)
+
+
+def planar_mode() -> bool:
+    global _mode
+    if _mode is None:
+        env = os.environ.get("BDSP_PLANAR_COMPLEX")
+        if env is not None:
+            _mode = env not in ("", "0", "false")
+        else:
+            try:
+                platform = jax.devices()[0].platform.lower()
+            except Exception:
+                platform = ""
+            _mode = "axon" in platform
+    return _mode
+
+
+class PlanarComplex:
+    """A complex array stored as two real planes (a jax pytree)."""
+
+    __slots__ = ("re", "im")
+
+    def __init__(self, re, im):
+        self.re = re
+        self.im = im
+
+    # --- array-like surface used by the vector layer -------------------
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def ndim(self):
+        return self.re.ndim
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self.re.dtype, jnp.complex64)
+
+    def __getitem__(self, idx):
+        return PlanarComplex(self.re[idx], self.im[idx])
+
+    def __repr__(self):
+        return f"PlanarComplex(shape={self.shape}, dtype={self.dtype})"
+
+
+jax.tree_util.register_pytree_node(
+    PlanarComplex,
+    lambda p: ((p.re, p.im), None),
+    lambda aux, children: PlanarComplex(*children))
+
+
+def is_planar(x) -> bool:
+    return isinstance(x, PlanarComplex)
+
+
+def unwrap(x):
+    """PlanarComplex -> complex array (inside a trace); passthrough else."""
+    if is_planar(x):
+        cdtype = jnp.result_type(x.re.dtype, jnp.complex64)
+        return x.re.astype(cdtype) + 1j * x.im.astype(cdtype)
+    return x
+
+
+def wrap(y, mode: bool):
+    """complex array -> PlanarComplex when mode is on; recursive over
+    tuples/lists."""
+    if isinstance(y, (tuple, list)):
+        return type(y)(wrap(v, mode) for v in y)
+    if mode and hasattr(y, "dtype") and jnp.iscomplexobj(y):
+        return PlanarComplex(jnp.real(y), jnp.imag(y))
+    return y
+
+
+def is_complex_repr(x) -> bool:
+    """True if x represents complex data (either dtype or planar)."""
+    return is_planar(x) or (hasattr(x, "dtype") and jnp.iscomplexobj(x))
+
+
+@functools.lru_cache(maxsize=1024)
+def _compiled(fn, mode: bool, static):
+    @jax.jit
+    def g(*arrays):
+        args = [unwrap(a) for a in arrays]
+        out = fn(*args, *static)
+        return wrap(out, mode)
+
+    return g
+
+
+def call(fn, *arrays, static=()):
+    """Runs ``fn(*arrays, *static)`` under a cached jit with planar
+    pack/unpack at the program boundary.  ``static`` entries are baked into
+    the trace (must be hashable); ``arrays`` may be jnp arrays or
+    PlanarComplex."""
+    return _compiled(fn, planar_mode(), tuple(static))(*arrays)
+
+
+def to_host(x) -> np.ndarray:
+    """Device -> host, transferring complex data as real planes."""
+    if is_planar(x):
+        return np.asarray(x.re) + 1j * np.asarray(x.im)
+    if hasattr(x, "dtype") and jnp.iscomplexobj(x):
+        re = np.asarray(call(jnp.real, x))
+        im = np.asarray(call(jnp.imag, x))
+        return re + 1j * im
+    return np.asarray(x)
+
+
+def from_host_complex(re, im):
+    """Host real/imag -> device complex representation."""
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    if planar_mode():
+        rdtype = jnp.result_type(re.dtype, im.dtype)
+        return PlanarComplex(re.astype(rdtype), im.astype(rdtype))
+    return call(_combine, re, im)
+
+
+def _combine(re, im):
+    cdtype = jnp.result_type(re.dtype, im.dtype, jnp.complex64)
+    return re.astype(cdtype) + 1j * im.astype(cdtype)
+
+
+def real_dtype_of(x):
+    if is_planar(x):
+        return x.re.dtype
+    return jnp.zeros((), x.dtype).real.dtype

@@ -27,6 +27,7 @@ from .errors import DspError, ErrorReason
 from .meta import DataDomain, NumberSpace
 from .ops import conv_ops, stats_ops
 from .vector import DspVector, _complex_dtype_for
+from . import _planar
 
 __all__ = [
     "DspMatrix", "RealTimeMatrix", "RealFreqMatrix", "ComplexTimeMatrix",
@@ -72,12 +73,7 @@ class DspMatrix(DspVector):
         return self.rows()[i]
 
     def to_numpy(self) -> np.ndarray:
-        from .vector import _jit_unary
-        if self.is_complex():
-            re = np.asarray(_jit_unary(jnp.real)(self._data))
-            im = np.asarray(_jit_unary(jnp.imag)(self._data))
-            return re + 1j * im
-        return np.asarray(self._data)
+        return _planar.to_host(self._data)
 
     @classmethod
     def _flavor_class(cls, space: NumberSpace, domain: DataDomain):
@@ -117,12 +113,12 @@ class DspMatrix(DspVector):
                 for i in range(self.col_len())]
 
     def sum(self):
-        s = jnp.sum(self._data, axis=-1)
-        return [v.item() for v in s]
+        s = _planar.to_host(_planar.call(stats_ops._sum, self._data))
+        return list(s)
 
     def sum_sq(self):
-        s = jnp.sum(self._data * self._data, axis=-1)
-        return [v.item() for v in s]
+        s = _planar.to_host(_planar.call(stats_ops._sum_sq, self._data))
+        return list(s)
 
     def sum_prec(self):
         return [stats_ops.sum_prec(self._data[i])
@@ -136,8 +132,9 @@ class DspMatrix(DspVector):
         bad = self._binary_check(other)
         if bad is not None:
             raise DspError(ErrorReason.INPUT_META_DATA_MUST_AGREE)
-        s = jnp.sum(self._data * other._data, axis=-1)
-        return [v.item() for v in s]
+        s = _planar.to_host(_planar.call(stats_ops._dot, self._data,
+                                         other._data))
+        return list(s)
 
     def dot_product_prec(self, other):
         bad = self._binary_check(other)
@@ -169,21 +166,33 @@ class DspMatrix(DspVector):
         bad = self._check(domain=DataDomain.TIME)
         if bad is not None:
             return bad
-        imp = jnp.asarray(impulse_response)
+        imp = np.asarray(impulse_response)
         if imp.ndim != 3 or imp.shape[0] != self.col_len() \
                 or imp.shape[1] != self.col_len():
             raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH,
                            "impulse_response must be (rows, rows, taps)")
-        n = self.points()
-        cdtype = _complex_dtype_for(jnp.zeros((), self._data.dtype).real.dtype)
-        g = conv_ops.kernel_layout(imp.astype(cdtype), n)  # (C, C, n)
-        G = jnp.fft.fft(g, axis=-1)
-        X = jnp.fft.fft(self._data.astype(cdtype), axis=-1)  # (C, n)
-        Y = jnp.einsum("crn,rn->cn", G, X)
-        out = jnp.fft.ifft(Y, axis=-1)
-        if not self.is_complex():
-            out = jnp.real(out).astype(self._data.dtype)
+        if np.iscomplexobj(imp):
+            imp_dev = _planar.from_host_complex(
+                np.ascontiguousarray(imp.real),
+                np.ascontiguousarray(imp.imag))
+        else:
+            imp_dev = jnp.asarray(imp)
+        out = _planar.call(_convolve_mat, self._data, imp_dev,
+                           static=(self.is_complex(),))
         return self._make(out)
+
+
+def _convolve_mat(x, imp, is_complex):
+    n = x.shape[-1]
+    cdtype = _complex_dtype_for(jnp.zeros((), x.dtype).real.dtype)
+    g = conv_ops.kernel_layout(imp.astype(cdtype), n)  # (C, C, n)
+    G = jnp.fft.fft(g, axis=-1)
+    X = jnp.fft.fft(x.astype(cdtype), axis=-1)  # (C, n)
+    Y = jnp.einsum("crn,rn->cn", G, X)
+    out = jnp.fft.ifft(Y, axis=-1)
+    if not is_complex:
+        out = jnp.real(out).astype(x.dtype)
+    return out
 
 
 class RealTimeMatrix(DspMatrix):
@@ -230,18 +239,18 @@ def to_real_freq_mat(data, delta: float = 1.0) -> RealFreqMatrix:
 
 
 def to_complex_time_mat(data, delta: float = 1.0) -> ComplexTimeMatrix:
-    return ComplexTimeMatrix(jnp.asarray(data), delta)
+    return ComplexTimeMatrix(data, delta)
 
 
 def to_complex_freq_mat(data, delta: float = 1.0) -> ComplexFreqMatrix:
-    return ComplexFreqMatrix(jnp.asarray(data), delta)
+    return ComplexFreqMatrix(data, delta)
 
 
 def to_gen_dsp_mat(data, is_complex: bool,
                    domain: DataDomain = DataDomain.TIME,
                    delta: float = 1.0) -> GenDspMatrix:
     space = NumberSpace.COMPLEX if is_complex else NumberSpace.REAL
-    return GenDspMatrix(jnp.asarray(data), delta, domain, space)
+    return GenDspMatrix(data, delta, domain, space)
 
 
 def to_mat(rows: Sequence[DspVector]) -> DspMatrix:

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import _planar
+
 STATS_VEC_CAPACITY = 16
 
 
@@ -68,7 +70,6 @@ def _as_stats(sum_, count, average, rms, min_, min_idx, max_, max_idx):
                       max_index=int(max_idx))
 
 
-@jax.jit
 def _real_stats_arrays(x: jnp.ndarray):
     n = x.shape[-1]
     s = jnp.sum(x, axis=-1)
@@ -79,7 +80,6 @@ def _real_stats_arrays(x: jnp.ndarray):
             jnp.min(x, axis=-1), mn_i, jnp.max(x, axis=-1), mx_i)
 
 
-@jax.jit
 def _complex_stats_arrays(x: jnp.ndarray):
     n = x.shape[-1]
     s = jnp.sum(x, axis=-1)
@@ -92,6 +92,14 @@ def _complex_stats_arrays(x: jnp.ndarray):
             jnp.take_along_axis(x, mx_i[..., None], axis=-1)[..., 0], mx_i)
 
 
+def _host_scalar(v):
+    """Planar-aware scalar fetch."""
+    h = _planar.to_host(v)
+    if np.iscomplexobj(h):
+        return complex(h)
+    return h.item() if hasattr(h, "item") else h
+
+
 def statistics(x: jnp.ndarray, is_complex: bool) -> Statistics:
     """Single-pass statistics (reference statistics.rs:365-386, 589-611)."""
     n = x.shape[-1]
@@ -101,8 +109,9 @@ def statistics(x: jnp.ndarray, is_complex: bool) -> Statistics:
         return Statistics(sum=zero, count=0, average=nan, rms=nan, min=nan,
                           min_index=0, max=nan, max_index=0)
     fn = _complex_stats_arrays if is_complex else _real_stats_arrays
-    s, avg, rms, mn, mn_i, mx, mx_i = (v.item() for v in fn(x))
-    return _as_stats(s, n, avg, rms, mn, mn_i, mx, mx_i)
+    s, avg, rms, mn, mn_i, mx, mx_i = (
+        _host_scalar(v) for v in _planar.call(fn, x))
+    return _as_stats(s, n, avg, rms, mn, int(mn_i), mx, int(mx_i))
 
 
 def statistics_split(x: jnp.ndarray, length: int, is_complex: bool):
@@ -110,31 +119,33 @@ def statistics_split(x: jnp.ndarray, length: int, is_complex: bool):
     (reference statistics.rs:398-429, 623-655)."""
     if length == 0:
         return []
-    n = x.shape[-1]
     rows = []
     for k in range(length):
-        rows.append(statistics(x[k::length], is_complex))
+        if _planar.is_planar(x):
+            sub = _planar.PlanarComplex(x.re[..., k::length],
+                                        x.im[..., k::length])
+        else:
+            sub = x[..., k::length]
+        rows.append(statistics(sub, is_complex))
     return rows
 
 
-@jax.jit
 def _sum(x):
     return jnp.sum(x, axis=-1)
 
 
-@jax.jit
 def _sum_sq(x):
     return jnp.sum(x * x, axis=-1)
 
 
 def sum_(x: jnp.ndarray):
-    return _sum(x).item()
+    return _host_scalar(_planar.call(_sum, x))
 
 
 def sum_sq(x: jnp.ndarray):
     """Sum of x*x; for complex data this is the complex square
     (reference statistics.rs:532-561)."""
-    return _sum_sq(x).item()
+    return _host_scalar(_planar.call(_sum_sq, x))
 
 
 def _to_prec(x: jnp.ndarray) -> jnp.ndarray:
@@ -151,7 +162,7 @@ def _chunked_prec_sum(x: jnp.ndarray, square: bool):
     host and accumulate in f64 — the same contract as the reference's
     Kahan/Neumaier-compensated f64 accumulation of f32 inputs
     (precise_stats.rs:120-124, 622-660)."""
-    h = np.asarray(x)
+    h = _planar.to_host(x)
     h = h.astype(np.complex128 if np.iscomplexobj(h) else np.float64)
     if square:
         h = h * h
@@ -161,21 +172,14 @@ def _chunked_prec_sum(x: jnp.ndarray, square: bool):
 
 def sum_prec(x: jnp.ndarray):
     """f64-accumulated sum (reference precise_stats.rs sum_prec)."""
-    if jax.config.jax_enable_x64:
-        return jnp.sum(_to_prec(x), axis=-1).item()
     return _chunked_prec_sum(x, square=False)
 
 
 def sum_sq_prec(x: jnp.ndarray):
-    if jax.config.jax_enable_x64:
-        y = _to_prec(x)
-        return jnp.sum(y * y, axis=-1).item()
     return _chunked_prec_sum(x, square=True)
 
 
 def statistics_prec(x: jnp.ndarray, is_complex: bool) -> Statistics:
-    if jax.config.jax_enable_x64:
-        return statistics(_to_prec(x), is_complex)
     base = statistics(x, is_complex)  # min/max/indices are exact already
     n = x.shape[-1]
     if n == 0:
@@ -189,13 +193,17 @@ def statistics_prec(x: jnp.ndarray, is_complex: bool) -> Statistics:
 
 
 def statistics_split_prec(x: jnp.ndarray, length: int, is_complex: bool):
-    if jax.config.jax_enable_x64:
-        return statistics_split(_to_prec(x), length, is_complex)
-    return [statistics_prec(x[..., k::length], is_complex)
-            for k in range(length)]
+    rows = []
+    for k in range(length):
+        if _planar.is_planar(x):
+            sub = _planar.PlanarComplex(x.re[..., k::length],
+                                        x.im[..., k::length])
+        else:
+            sub = x[..., k::length]
+        rows.append(statistics_prec(sub, is_complex))
+    return rows
 
 
-@jax.jit
 def _dot(x, y):
     return jnp.sum(x * y, axis=-1)
 
@@ -203,13 +211,16 @@ def _dot(x, y):
 def dot_product(x: jnp.ndarray, y: jnp.ndarray):
     """Dot product WITHOUT conjugation — the reference multiplies complex
     element pairs directly (dot_products.rs:294-309)."""
-    return _dot(x, y).item()
+    return _host_scalar(_planar.call(_dot, x, y))
 
 
 def dot_product_prec(x: jnp.ndarray, y: jnp.ndarray):
-    if jax.config.jax_enable_x64:
-        return jnp.sum(_to_prec(x) * _to_prec(y), axis=-1).item()
-    return _chunked_prec_sum(x * y, square=False)
+    hx = _planar.to_host(x)
+    hy = _planar.to_host(y)
+    hx = hx.astype(np.complex128 if np.iscomplexobj(hx) else np.float64)
+    hy = hy.astype(np.complex128 if np.iscomplexobj(hy) else np.float64)
+    out = (hx * hy).sum(axis=-1)
+    return complex(out) if np.iscomplexobj(out) else float(out)
 
 
 def merge_stats(parts):

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import config as _config
+from . import _planar
+from ._planar import PlanarComplex
 from .errors import DspError, ErrorReason
 from .meta import DataDomain, NumberSpace
 from .ops import conv_ops, fft_ops, interp_ops, reorg_ops, stats_ops
@@ -45,7 +47,7 @@ __all__ = [
 
 
 def _real_dtype_of(arr) -> jnp.dtype:
-    return jnp.zeros((), arr.dtype).real.dtype
+    return _planar.real_dtype_of(arr)
 
 
 def _complex_dtype_for(real_dtype) -> jnp.dtype:
@@ -62,32 +64,28 @@ import functools as _functools
 import operator as _operator
 
 
-@_functools.lru_cache(maxsize=None)
+# All device computation funnels through _planar.call: a cached jit with
+# planar complex pack/unpack at the program boundary (complex dtypes are
+# unreliable as program I/O on some TPU runtimes — see _planar.py).
 def _jit_unary(fn):
-    return jax.jit(fn)
+    return lambda x: _planar.call(fn, x)
 
 
-@_functools.lru_cache(maxsize=None)
 def _jit_unary_arg(fn):
-    return jax.jit(fn)
+    return lambda x, arg: _planar.call(fn, x, arg)
 
 
-@_functools.lru_cache(maxsize=None)
 def _jit_binary(fn):
-    return jax.jit(fn)
+    return lambda a, b: _planar.call(fn, a, b)
 
 
-@_functools.lru_cache(maxsize=None)
 def _jit_unary_static(fn):
-    return jax.jit(fn, static_argnums=(1,))
+    return lambda x, st: _planar.call(fn, x, static=(st,))
 
 
-@_functools.lru_cache(maxsize=512)
 def _jit_static(fn, *static):
-    """jit of ``fn(*arrays, *static)`` with the trailing arguments baked in
-    (cached per (fn, statics)).  Used to run composite ops under jit from
-    the eager API — required for complex dtypes on some TPU runtimes."""
-    return jax.jit(lambda *arrays: fn(*arrays, *static))
+    """``fn(*arrays, *static)`` under the planar-aware cached jit."""
+    return lambda *arrays: _planar.call(fn, *arrays, static=static)
 
 
 def _square(x):
@@ -167,6 +165,24 @@ def _window_div(x, w):
     return x / w.astype(x.dtype)
 
 
+def _dc_imag(x):
+    return jnp.imag(x[..., 0])
+
+
+def _sifft_core(x):
+    mirrored = fft_ops.mirror(x)
+    return jnp.real(fft_ops.plain_ifft(mirrored))
+
+
+def _map_with_idx(x, fn, argument):
+    return fn(x, jnp.arange(x.shape[-1]), argument)
+
+
+def _merge_stack(*arrs):
+    from .ops import reorg_ops as _reorg
+    return _reorg.merge(jnp.stack(arrs))
+
+
 def _resize(x, points):
     n = x.shape[-1]
     if points <= n:
@@ -186,7 +202,15 @@ class DspVector:
     def __init__(self, data, delta: float = 1.0,
                  domain: Optional[DataDomain] = None,
                  space: Optional[NumberSpace] = None):
-        data = jnp.asarray(data)
+        if not isinstance(data, PlanarComplex):
+            if isinstance(data, (np.ndarray, list, tuple)) \
+                    and np.iscomplexobj(np.asarray(data)):
+                host = np.asarray(data)
+                data = _planar.from_host_complex(
+                    np.ascontiguousarray(host.real),
+                    np.ascontiguousarray(host.imag))
+            else:
+                data = jnp.asarray(data)
         if data.ndim != self._NDIM:
             raise ValueError(
                 f"{type(self).__name__} expects {self._NDIM}-D data; "
@@ -195,10 +219,10 @@ class DspVector:
         domain = domain or self._DOMAIN
         if space is None or domain is None:
             raise ValueError("GenDspVector requires explicit domain and space")
-        if space == NumberSpace.COMPLEX and not jnp.iscomplexobj(data):
+        if space == NumberSpace.COMPLEX and not _planar.is_complex_repr(data):
             cdtype = _complex_dtype_for(data.dtype)
             data = _jit_unary_static(_astype)(data, jnp.dtype(cdtype).name)
-        if space == NumberSpace.REAL and jnp.iscomplexobj(data):
+        if space == NumberSpace.REAL and _planar.is_complex_repr(data):
             raise ValueError("real vector constructed from complex data")
         self._data = data
         self._delta = float(delta)
@@ -237,14 +261,17 @@ class DspVector:
         for Gen vectors; typed flavors raise instead."""
         if self._is_gen():
             space = space or self._space
-            dtype = (self._data.dtype if space == self._space
-                     else (_complex_dtype_for(_real_dtype_of(self._data))
-                           if space == NumberSpace.COMPLEX
-                           else _real_dtype_of(self._data)))
+            rdtype = _real_dtype_of(self._data)
             shape = (0,) if self._NDIM == 1 else (self._data.shape[0], 0)
-            return self._gen_class()(jnp.zeros(shape, dtype=dtype),
-                                     float("nan"), domain or self._domain,
-                                     space)
+            if space == NumberSpace.COMPLEX and _planar.planar_mode():
+                data = PlanarComplex(jnp.zeros(shape, dtype=rdtype),
+                                     jnp.zeros(shape, dtype=rdtype))
+            elif space == NumberSpace.COMPLEX:
+                data = jnp.zeros(shape, dtype=_complex_dtype_for(rdtype))
+            else:
+                data = jnp.zeros(shape, dtype=rdtype)
+            return self._gen_class()(data, float("nan"),
+                                     domain or self._domain, space)
         raise DspError(reason)
 
     # ------------------------------------------------------------------
@@ -252,8 +279,11 @@ class DspVector:
     # ------------------------------------------------------------------
     @property
     def array(self) -> jnp.ndarray:
-        """The underlying device array (complex dtype for complex vectors)."""
-        return self._data
+        """The underlying device array (complex dtype for complex vectors).
+
+        In planar-complex mode this materializes the complex view eagerly —
+        prefer :meth:`to_numpy` on runtimes without complex support."""
+        return _planar.unwrap(self._data)
 
     def delta(self) -> float:
         """Sample spacing (x-axis step; becomes rbw after an FFT)."""
@@ -286,11 +316,7 @@ class DspVector:
         """Device -> host copy.  Complex data transfers as two real planes
         (some TPU runtimes cannot move complex arrays across the host
         boundary)."""
-        if self.is_complex():
-            re = np.asarray(_jit_unary(jnp.real)(self._data))
-            im = np.asarray(_jit_unary(jnp.imag)(self._data))
-            return re + 1j * im
-        return np.asarray(self._data)
+        return _planar.to_host(self._data)
 
     def __getitem__(self, idx):
         return self.to_numpy()[idx]
@@ -608,8 +634,8 @@ class DspVector:
         n0 = sources[0].points()
         if any(s.points() != n0 for s in sources):
             raise DspError(ErrorReason.INVALID_ARGUMENT_LENGTH)
-        stacked = jnp.stack([s._data for s in sources])
-        return self._make(_jit_unary(reorg_ops.merge)(stacked))
+        return self._make(_planar.call(_merge_stack,
+                                       *[s._data for s in sources]))
 
     def resize(self, points: int) -> "DspVector":
         """Shrink (truncate) or grow (zero-extend) to ``points``
@@ -679,14 +705,14 @@ class DspVector:
     # the whole value array and an index array (vectorized contract).
     # ------------------------------------------------------------------
     def map_inplace(self, fn: Callable, argument=None) -> "DspVector":
-        idx = jnp.arange(self.points())
-        return self._make(fn(self._data, idx, argument))
+        return self._make(_planar.call(_map_with_idx, self._data,
+                                       static=(fn, argument)))
 
     def map_aggregate(self, map_fn: Callable, aggregate_fn: Callable,
                       argument=None):
-        idx = jnp.arange(self.points())
-        mapped = map_fn(self._data, idx, argument)
-        return aggregate_fn(mapped)
+        mapped = _planar.call(_map_with_idx, self._data,
+                              static=(map_fn, argument))
+        return aggregate_fn(_planar.unwrap(mapped))
 
     # ------------------------------------------------------------------
     # Rededicate (reference rededicate_and_relations.rs:16-91): re-tag the
@@ -805,7 +831,8 @@ class DspVector:
                                  space=NumberSpace.COMPLEX)
         points = self.points()
         full = self.plain_fft()
-        return full._make(fft_ops.unmirror(full._data, points),
+        return full._make(_planar.call(fft_ops.unmirror, full._data,
+                                       static=(points,)),
                           delta=full._delta, domain=DataDomain.FREQUENCY,
                           space=NumberSpace.COMPLEX)
 
@@ -822,7 +849,8 @@ class DspVector:
                                  space=NumberSpace.COMPLEX)
         points = self.points()
         full = self.fft()
-        return full._make(fft_ops.unmirror(full._data, points),
+        return full._make(_planar.call(fft_ops.unmirror, full._data,
+                                       static=(points,)),
                           delta=full._delta, domain=DataDomain.FREQUENCY,
                           space=NumberSpace.COMPLEX)
 
@@ -838,7 +866,8 @@ class DspVector:
                                  space=NumberSpace.COMPLEX)
         points = self.points()
         full = self.to_complex().apply_window(window).fft()
-        return full._make(fft_ops.unmirror(full._data, points),
+        return full._make(_planar.call(fft_ops.unmirror, full._data,
+                                       static=(points,)),
                           delta=full._delta, domain=DataDomain.FREQUENCY,
                           space=NumberSpace.COMPLEX)
 
@@ -874,15 +903,15 @@ class DspVector:
         if bad is not None:
             return bad._retag(NumberSpace.REAL, DataDomain.TIME) \
                 if bad._is_gen() else bad
-        if self.points() > 0 and abs(float(jnp.imag(self._data[0]))) > 1e-10:
+        if self.points() > 0 and abs(float(
+                _planar.call(_dc_imag, self._data))) > 1e-10:
             return self._invalid(ErrorReason.INPUT_MUST_BE_CONJ_SYMMETRIC,
                                  domain=DataDomain.TIME,
                                  space=NumberSpace.REAL)
-        mirrored = fft_ops.mirror(self._data)
-        time = fft_ops.plain_ifft(mirrored)
-        return self._make(jnp.real(time), domain=DataDomain.TIME,
+        out = _planar.call(_sifft_core, self._data)
+        return self._make(out, domain=DataDomain.TIME,
                           space=NumberSpace.REAL,
-                          delta=self._delta * mirrored.shape[-1])
+                          delta=self._delta * (2 * self.points() - 1))
 
     def sifft(self) -> "DspVector":
         """Reference freq_to_time.rs:223-234: scale by 1/half_points,
@@ -937,8 +966,10 @@ class DspVector:
             return bad
         if self.points() < impulse_response.points():
             return self._invalid(ErrorReason.INVALID_ARGUMENT_LENGTH)
-        out = conv_ops.convolve_signal(self._data, impulse_response._data,
-                                       self.is_complex(), cfg)
+        out = _planar.call(conv_ops.convolve_signal, self._data,
+                           impulse_response._data,
+                           static=(self.is_complex(),
+                                   cfg or _config.default_config()))
         return self._make(out)
 
     def overlap_discard(self, impulse_response: "DspVector",
@@ -952,8 +983,9 @@ class DspVector:
         if bad is not None:
             return bad
         m = impulse_response.points()
-        out = conv_ops.overlap_save(self._data, impulse_response._data,
-                                    True, conv_ops.pick_fft_len(m, fft_len))
+        out = _planar.call(conv_ops.overlap_save, self._data,
+                           impulse_response._data,
+                           static=(True, conv_ops.pick_fft_len(m, fft_len)))
         return self._make(out)
 
     def convolve(self, function, ratio: float, length: int) -> "DspVector":

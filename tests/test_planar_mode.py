@@ -1,0 +1,129 @@
+"""Planar-complex mode: the representation for runtimes where complex
+dtypes cannot cross jit program boundaries (see _planar.py).  Every op
+family must produce identical results with the mode on."""
+import numpy as np
+import pytest
+
+import basic_dsp_tpu as bd
+from basic_dsp_tpu import _planar
+from tools import assert_vector_eq, create_complex_data, create_data
+
+
+@pytest.fixture(autouse=True)
+def planar_on():
+    _planar.set_planar_complex(True)
+    yield
+    _planar.set_planar_complex(False)
+
+
+def cvec(n, seed=1):
+    data = create_complex_data(seed, n)
+    v = bd.to_complex_time_vec(data)
+    assert _planar.is_planar(v._data), "planar mode must store planes"
+    return v, data
+
+
+def test_construct_and_to_numpy():
+    v, data = cvec(64)
+    np.testing.assert_allclose(v.to_numpy(), data)
+    assert v.points() == 64 and v.is_complex()
+
+
+def test_elementary_planar():
+    v, data = cvec(128)
+    out = v.scale(2.0 + 1j).offset(1 - 1j)
+    assert_vector_eq(out.to_numpy(), data * (2 + 1j) + (1 - 1j), tol=1e-9)
+    w, other = cvec(128, seed=2)
+    assert_vector_eq(v.mul(w).to_numpy(), data * other, tol=1e-9)
+
+
+def test_fft_round_trip_planar():
+    v, data = cvec(256)
+    back = v.fft().ifft()
+    assert_vector_eq(back.to_numpy(), data, tol=1e-8)
+
+
+def test_windowed_fft_planar():
+    v, data = cvec(64)
+    got = v.windowed_fft(bd.HammingWindow()).magnitude().to_numpy()
+    w = np.asarray(bd.HammingWindow().sample(64))
+    expected = np.abs(np.fft.fftshift(np.fft.fft(data * w)))
+    assert_vector_eq(got, expected, tol=1e-6 * expected.max())
+
+
+def test_convolve_signal_planar():
+    v, data = cvec(100)
+    h = create_complex_data(3, 7)
+    hv = bd.to_complex_time_vec(h)
+    out = v.convolve_signal(hv)
+    _planar.set_planar_complex(False)
+    ref = (bd.to_complex_time_vec(data)
+           .convolve_signal(bd.to_complex_time_vec(h)))
+    _planar.set_planar_complex(True)
+    assert_vector_eq(out.to_numpy(), ref.to_numpy(), tol=1e-8)
+
+
+def test_interpolatef_planar():
+    v, data = cvec(64)
+    out = v.interpolatef(bd.SincFunction(), 1.5, 0.0, 8)
+    assert out.points() == 96
+    _planar.set_planar_complex(False)
+    ref = (bd.to_complex_time_vec(data)
+           .interpolatef(bd.SincFunction(), 1.5, 0.0, 8))
+    _planar.set_planar_complex(True)
+    assert_vector_eq(out.to_numpy(), ref.to_numpy(), tol=1e-8)
+
+
+def test_statistics_planar():
+    v, data = cvec(100)
+    s = v.statistics()
+    norms = np.abs(data)
+    assert s.count == 100
+    assert abs(s.sum - data.sum()) < 1e-9
+    assert s.min_index == norms.argmin()
+    assert abs(v.sum_prec() - data.sum()) < 1e-9
+    split = v.statistics_split(4)
+    assert abs(split[1].sum - data[1::4].sum()) < 1e-9
+
+
+def test_correlation_planar():
+    v, data = cvec(32)
+    w, other = cvec(32, seed=5)
+    out = v.correlate(w.prepare_argument_padded())
+    expected = np.correlate(data, other, mode="full")
+    assert_vector_eq(out.to_numpy(), expected, tol=1e-8)
+
+
+def test_sfft_planar():
+    data = create_data(7, 101)
+    half = bd.to_real_time_vec(data).plain_sfft()
+    back = half.plain_sifft().scale(1.0 / 101)
+    assert_vector_eq(back.to_numpy(), data, tol=1e-6)
+
+
+def test_matrix_planar():
+    data = create_complex_data(9, 2 * 64).reshape(2, 64)
+    mat = bd.to_complex_time_mat(data)
+    assert _planar.is_planar(mat._data)
+    mag = mat.fft().magnitude()
+    expected = np.abs(np.fft.fftshift(np.fft.fft(data, axis=-1), axes=-1))
+    assert_vector_eq(mag.to_numpy(), expected, tol=1e-6 * expected.max())
+    sums = mat.sum()
+    np.testing.assert_allclose(np.asarray(sums), data.sum(axis=-1))
+
+
+def test_mixed_mode_interop():
+    """A planar vector convolved with a non-planar kernel works (unwrap is
+    per-argument)."""
+    v, data = cvec(50)
+    _planar.set_planar_complex(False)
+    h = bd.to_complex_time_vec(create_complex_data(3, 5))
+    _planar.set_planar_complex(True)
+    out = v.convolve_signal(h)
+    assert out.points() == 50
+
+
+def test_gen_erroneous_planar():
+    g = bd.to_gen_dsp_vec(np.ones(4), is_complex=False)
+    bad = g.conj()
+    assert bad.is_erroneous()
