@@ -66,14 +66,14 @@ def new_vector(is_complex: int, domain: int, init_value: float, length: int,
     """Reference new32/new64 (facade32.rs:21-40)."""
     import jax.numpy as jnp
     dom = DataDomain.TIME if domain == 0 else DataDomain.FREQUENCY
-    rdtype = jnp.float64 if use_f64 else jnp.float32
+    np_rdtype = np.float64 if use_f64 else np.float32
     if is_complex:
         # `length` counts interleaved float elements, like the reference.
         n = length // 2
-        cdtype = jnp.complex128 if use_f64 else jnp.complex64
-        data = jnp.full((n,), complex(init_value, init_value), dtype=cdtype)
-        return GenDspVector(data, delta, dom, NumberSpace.COMPLEX)
-    data = jnp.full((length,), init_value, dtype=rdtype)
+        host = np.full((n,), complex(init_value, init_value),
+                       dtype=np.complex128 if use_f64 else np.complex64)
+        return GenDspVector(host, delta, dom, NumberSpace.COMPLEX)
+    data = jnp.asarray(np.full((length,), init_value, dtype=np_rdtype))
     return GenDspVector(data, delta, dom, NumberSpace.REAL)
 
 
@@ -84,8 +84,7 @@ def from_interleaved(is_complex: int, domain: int, delta: float,
     if is_complex:
         arr = np.asarray(data)
         cplx = arr[0::2] + 1j * arr[1::2]
-        return GenDspVector(jnp.asarray(cplx), delta, dom,
-                            NumberSpace.COMPLEX)
+        return GenDspVector(cplx, delta, dom, NumberSpace.COMPLEX)
     return GenDspVector(jnp.asarray(np.asarray(data)), delta, dom,
                         NumberSpace.REAL)
 

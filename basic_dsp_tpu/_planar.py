@@ -35,12 +35,25 @@ def planar_mode() -> bool:
         if env is not None:
             _mode = env not in ("", "0", "false")
         else:
-            try:
-                platform = jax.devices()[0].platform.lower()
-            except Exception:
-                platform = ""
-            _mode = "axon" in platform
+            _mode = _detect_hostile_backend()
     return _mode
+
+
+def _detect_hostile_backend() -> bool:
+    """True if the default backend cannot move complex arrays across the
+    host boundary (probe: tiny eager transfer round trip — no compile)."""
+    try:
+        names = set(getattr(jax._src.xla_bridge, "backends")().keys())
+        if "axon" in names:
+            return True
+    except Exception:
+        pass
+    try:
+        probe = jnp.asarray(np.ones(2, dtype=np.complex64))
+        np.asarray(probe)  # forces the device round trip
+        return False
+    except Exception:
+        return True
 
 
 class PlanarComplex:
