@@ -132,9 +132,16 @@ def _compiled(fn, mode: bool, static):
 def call(fn, *arrays, static=()):
     """Runs ``fn(*arrays, *static)`` under a cached jit with planar
     pack/unpack at the program boundary.  ``static`` entries are baked into
-    the trace (must be hashable); ``arrays`` may be jnp arrays or
-    PlanarComplex."""
-    return _compiled(fn, planar_mode(), tuple(static))(*arrays)
+    the trace (must be hashable); ``arrays`` may be jnp arrays, Python
+    scalars, or PlanarComplex."""
+    mode = planar_mode()
+    if mode:
+        # Complex scalars must not become complex program inputs either.
+        arrays = tuple(
+            PlanarComplex(jnp.asarray(a.real), jnp.asarray(a.imag))
+            if isinstance(a, complex) else a
+            for a in arrays)
+    return _compiled(fn, mode, tuple(static))(*arrays)
 
 
 def to_host(x) -> np.ndarray:

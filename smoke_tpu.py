@@ -11,6 +11,19 @@ import numpy as np
 
 
 def main():
+    # Families run in a child process so a failure cannot poison the
+    # caller's jax client.  NOTE: within the child, one failed device
+    # computation can cascade on some runtimes — trust the FIRST FAIL
+    # line; rerun to confirm later ones.
+    import subprocess
+    if "--family" not in sys.argv:
+        out = subprocess.run([sys.executable, __file__, "--family"],
+                             capture_output=True, text=True)
+        sys.stdout.write(out.stdout)
+        return out.returncode
+
+
+def _run_families():
     import basic_dsp_tpu as bd
 
     rng = np.random.default_rng(0)
@@ -74,4 +87,6 @@ def _matrix_check(bd, rng):
 
 
 if __name__ == "__main__":
+    if "--family" in sys.argv:
+        sys.exit(_run_families())
     sys.exit(main())
