@@ -113,6 +113,13 @@ def wrap(y, mode: bool):
     return y
 
 
+def unwrap_planes(x):
+    """Returns (re, im) planes for either representation (device ops)."""
+    if is_planar(x):
+        return x.re, x.im
+    return call(jnp.real, x), call(jnp.imag, x)
+
+
 def is_complex_repr(x) -> bool:
     """True if x represents complex data (either dtype or planar)."""
     return is_planar(x) or (hasattr(x, "dtype") and jnp.iscomplexobj(x))

@@ -267,7 +267,12 @@ def from_rows(rows: Sequence[DspVector]) -> DspMatrix:
     if any(r.points() != first.points() or r.is_complex() != first.is_complex()
            or r.domain() != first.domain() for r in rows):
         raise DspError(ErrorReason.INPUT_META_DATA_MUST_AGREE)
-    data = jnp.stack([r.array for r in rows])
+    if any(_planar.is_planar(r._data) for r in rows):
+        data = _planar.PlanarComplex(
+            jnp.stack([_planar.unwrap_planes(r._data)[0] for r in rows]),
+            jnp.stack([_planar.unwrap_planes(r._data)[1] for r in rows]))
+    else:
+        data = jnp.stack([r._data for r in rows])
     space = (NumberSpace.COMPLEX if first.is_complex() else NumberSpace.REAL)
     return _MAT_FLAVORS[(space, first.domain())](data, first.delta())
 
