@@ -29,7 +29,6 @@ unit that shards across chips with halo exchange).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -8,9 +8,6 @@ matrix), which runs on the MXU.
 """
 from __future__ import annotations
 
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,7 @@ and fuse into single XLA programs — this subsumes the reference's removed
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Sequence, Tuple, Union
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
