@@ -188,7 +188,7 @@ def _convolve_mat(x, imp, is_complex):
     g = conv_ops.kernel_layout(imp.astype(cdtype), n)  # (C, C, n)
     G = jnp.fft.fft(g, axis=-1)
     X = jnp.fft.fft(x.astype(cdtype), axis=-1)  # (C, n)
-    Y = jnp.einsum("crn,rn->cn", G, X)
+    Y = jnp.einsum("crn,rn->cn", G, X, precision="highest")
     out = jnp.fft.ifft(Y, axis=-1)
     if not is_complex:
         out = jnp.real(out).astype(x.dtype)

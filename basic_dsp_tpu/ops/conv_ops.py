@@ -181,7 +181,8 @@ def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
         Ta = jnp.where(jnp.asarray(mask), q[..., idx], 0).astype(dtype)
         block = ext[..., 128 * a: 128 * a + R * 128].reshape(
             x.shape[:-1] + (R, 128))
-        out = out + jnp.matmul(block, Ta).reshape(out.shape)
+        out = out + jnp.matmul(block, Ta,
+                                precision="highest").reshape(out.shape)
     out = out[..., :n]
     return out if is_complex else jnp.real(out).astype(x.dtype)
 

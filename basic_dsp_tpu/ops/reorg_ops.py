@@ -10,7 +10,10 @@ which is the one exercised by correlation and the Octave-parity tests.
 """
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 
 def reverse(x: jnp.ndarray) -> jnp.ndarray:
@@ -76,3 +79,62 @@ def merge(parts: jnp.ndarray) -> jnp.ndarray:
     """Inverse of split_into: parts is (n_sources, m); out[i] =
     parts[i % n][i // n] (data_reorganization.rs:522-557)."""
     return parts.swapaxes(-1, -2).reshape(parts.shape[:-2] + (-1,))
+
+
+@functools.lru_cache(maxsize=64)
+def _mux_selector(P: int, Q: int, offs: tuple):
+    """One-hot selector for :func:`phase_mux`: ``S[j, p, f] = 1`` iff
+    ``p == j % P`` and ``f == (j // P) * Q + offs[p]``.  Shapes:
+    (128*P, P, 128*Q)."""
+    B = 128 * P
+    span = 128 * Q
+    j = np.arange(B)
+    S = np.zeros((B, P, span), dtype=np.float32)
+    S[j, j % P, (j // P) * Q + np.asarray(offs)[j % P]] = 1.0
+    return S
+
+
+def phase_mux(phases: jnp.ndarray, Q: int, offs, out_len: int) -> jnp.ndarray:
+    """Fused phase-interleave + stride-``Q`` decimation::
+
+        out[k*P + p] = phases[..., p, k*Q + offs[p]]
+
+    as ONE dense block contraction on the MXU.  The naive spellings —
+    ``jnp.stack(..., -1).reshape`` for the interleave, strided slices or a
+    ``(k, Q)``-minor one-hot einsum for the decimation — all create arrays
+    whose minor dimension is tiny (P or Q out of 128 lanes), and the
+    resulting relayouts dominate the whole resampler (~7.7 ms of a 7.6 ms
+    1M-point interpolatef; the three tap correlations cost ~1 ms).
+
+    Blocking by 128 output samples per phase makes every operand a full
+    (8,128)-tiled array: reshape phases to ``(..., P, nblocks, 128*Q)``,
+    contract with a static one-hot ``(128*P, P, 128*Q)`` selector, and the
+    flat output ``(..., nblocks*128*P)`` is a contiguous reshape.  Output
+    block ``b`` element ``j`` reads phase ``j % P`` at local offset
+    ``(j // P)*Q + offs[j % P] < 128*Q``, so blocks never cross and the
+    zero padding added to reach a whole number of blocks never lands in a
+    valid output sample.
+    """
+    P = phases.shape[-2]
+    n = phases.shape[-1]
+    if P * P * Q > 256:
+        # Selector would exceed ~16 MB (128P·P·128Q f32); the pathological
+        # rational factors that get here are rare — use the small-minor-dim
+        # one-hot (slower but bounded memory).  Requires Q | n, offs < Q.
+        k = n // Q
+        C2 = phases.reshape(phases.shape[:-1] + (k, Q))
+        onehot = np.zeros((P, Q), dtype=np.float32)
+        onehot[np.arange(P), np.asarray(offs)] = 1.0
+        out_kp = jnp.einsum("...pkq,pq->...kp", C2, jnp.asarray(onehot),
+                            precision="highest")
+        return out_kp.reshape(out_kp.shape[:-2] + (k * P,))[..., :out_len]
+    span = 128 * Q
+    B = 128 * P
+    nblocks = -(-n // span)
+    if nblocks * span != n:
+        pad = [(0, 0)] * (phases.ndim - 1) + [(0, nblocks * span - n)]
+        phases = jnp.pad(phases, pad)
+    C3 = phases.reshape(phases.shape[:-1] + (nblocks, span))
+    S = jnp.asarray(_mux_selector(P, Q, tuple(int(o) for o in offs)))
+    out = jnp.einsum("...pbf,jpf->...bj", C3, S, precision="highest")
+    return out.reshape(out.shape[:-2] + (nblocks * B,))[..., :out_len]

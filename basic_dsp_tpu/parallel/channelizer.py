@@ -56,7 +56,8 @@ def polyphase_channelizer(x: jnp.ndarray, prototype: jnp.ndarray,
     idx = jnp.arange(v.shape[-1])[:, None] + jnp.arange(t)[None, :]
     windows = xp[..., idx]                            # (C, n/C, T)
     u = jnp.einsum("cnt,ct->cn", windows,
-                   taps[..., ::-1].astype(windows.dtype))
+                   taps[..., ::-1].astype(windows.dtype),
+                   precision="highest")
     # Channel mixing: y_k[m] = sum_p u_p[m] e^{-2pi i k p / C} == DFT over
     # the phase axis.
     return jnp.fft.fft(u, axis=0)
