@@ -187,6 +187,49 @@ def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
     return out if is_complex else jnp.real(out).astype(x.dtype)
 
 
+def toeplitz_conv_multi(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Batched :func:`toeplitz_conv`: P kernels (``taps``: (P, m)) against
+    ONE signal, returning the (..., P, n) stack of circular centered
+    convolutions.
+
+    All kernels share the signal geometry, so the wrapped extension is
+    built once and the per-shift matmul becomes a single batched
+    contraction against (P, 128, 128) tap matrices — this is the polyphase
+    resampler's inner loop (P per-phase correlations, interp_ops), where P
+    separate toeplitz_conv calls would rebuild the extension P times.
+    """
+    P, m = taps.shape
+    n = x.shape[-1]
+    start, length, c = _clip_kernel(n, m)
+    q = taps[:, start:start + length][:, ::-1]
+    m_eff = length
+    dtype = jnp.result_type(x.dtype, q.dtype)
+    R = -(-n // 128)
+    n_shifts = -(-(m_eff + 127) // 128)
+    need = R * 128 + 128 * n_shifts
+    k = (m_eff - c) % n if n else 0
+    pieces = [x[..., n - k:]] if k else []
+    remaining = need - k
+    while remaining > 0:
+        take = min(remaining, n)
+        pieces.append(x[..., :take])
+        remaining -= take
+    ext = jnp.concatenate(pieces, axis=-1).astype(dtype)
+    j = np.arange(128)[:, None]
+    col = np.arange(128)[None, :]
+    out = jnp.zeros(x.shape[:-1] + (P, R * 128), dtype=dtype)
+    for a in range(n_shifts):
+        e = 128 * a + j - col
+        mask = (e >= 0) & (e < m_eff)
+        idx = np.where(mask, e, 0)
+        Ta = jnp.where(jnp.asarray(mask)[None], q[:, idx], 0).astype(dtype)
+        block = ext[..., 128 * a: 128 * a + R * 128].reshape(
+            x.shape[:-1] + (R, 128))
+        out = out + jnp.einsum("...rk,pkl->...prl", block, Ta,
+                               precision="highest").reshape(out.shape)
+    return out[..., :n]
+
+
 def pick_fft_len(imp_len: int, requested: int = 0) -> int:
     """Block length for the blocked conv pipeline.
 

@@ -90,15 +90,11 @@ def _interpolatef_gather(x, fun, factor, delay, L, new_points):
 
 def _phase_correlations(x, taps):
     """Per-phase circular correlations ``out_p[q] = sum_s x[(q+s) mod n] *
-    taps_p[s+L]`` — each phase is one MXU Toeplitz-matmul convolution with
-    the reversed tap vector (correlation == convolution with reversed
-    kernel; see conv_ops.toeplitz_conv).  taps: (P, 2L+1)."""
-    P = taps.shape[0]
-    outs = []
-    for p in range(P):
-        outs.append(conv_ops.toeplitz_conv(x, taps[p, ::-1],
-                                           jnp.iscomplexobj(x)))
-    return outs
+    taps_p[s+L]`` as ONE batched MXU Toeplitz contraction with the
+    reversed tap vectors (correlation == convolution with reversed kernel;
+    see conv_ops.toeplitz_conv_multi).  taps: (P, 2L+1); returns
+    (..., P, n)."""
+    return conv_ops.toeplitz_conv_multi(x, taps[:, ::-1])
 
 
 def _interpolatef_integer_spectral(x, fun, factor, delay, L):
@@ -119,12 +115,11 @@ def _interpolatef_integer_spectral(x, fun, factor, delay, L):
     s = jnp.arange(-L, L + 1, dtype=rdtype)
     p = jnp.arange(factor, dtype=rdtype)
     taps = fun.calc(s[None, :] - p[:, None] / factor + delay)  # (F, 2L+1)
-    outs = _phase_correlations(x, taps)
+    corr = _phase_correlations(x, taps)        # (..., F, n)
     # Phase interleave via the MXU mux (Q=1, no decimation): a plain
     # stack(-1).reshape interleave relayouts through a minor dim of F and
     # costs ~4 ms per 3M samples; the mux is a dense matmul.
-    out = reorg_ops.phase_mux(jnp.stack(outs, axis=-2), 1,
-                              (0,) * factor, factor * n)
+    out = reorg_ops.phase_mux(corr, 1, (0,) * factor, factor * n)
     if not jnp.iscomplexobj(x):
         return jnp.real(out).astype(x.dtype)
     return out
@@ -150,13 +145,12 @@ def _interpolatef_rational_spectral(x, fun, P, Q, delay, L):
     offs = (p * Q) // P
     taps = fun.calc(s[None, :] - jnp.asarray(fracs, dtype=rdtype)[:, None]
                     + delay)                                  # (P, 2L+1)
-    corr = _phase_correlations(x, taps)
+    corr = _phase_correlations(x, taps)        # (..., P, n)
     k_count = n // Q
     # out[k*P + p] = corr_p[k*Q + offs[p]]: fused interleave + stride-Q
     # decimation on the MXU (strided slices and tiny-minor-dim one-hot
     # einsums both relayout badly on TPU — see reorg_ops.phase_mux).
-    out = reorg_ops.phase_mux(jnp.stack(corr, axis=-2), Q, offs,
-                              k_count * P)
+    out = reorg_ops.phase_mux(corr, Q, offs, k_count * P)
     if not jnp.iscomplexobj(x):
         return jnp.real(out).astype(x.dtype)
     return out
