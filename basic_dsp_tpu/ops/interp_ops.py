@@ -220,7 +220,12 @@ def interpft(x: jnp.ndarray, dest_points: int, is_complex: bool):
 
 def decimatei(x: jnp.ndarray, decimation_factor: int,
               delay: int) -> jnp.ndarray:
-    """Strided pick (reference decimatei, interpolation.rs:607-633)."""
+    """Strided pick (reference decimatei, interpolation.rs:607-633).
+
+    Stays a strided slice even though slices relayout slowly on TPU: the
+    MXU phase-mux alternative is NOT bit-exact (highest-precision one-hot
+    matmuls still leave ~3e-7 residue on TPU, measured), and an exact pick
+    is the op's contract."""
     return x[..., delay::decimation_factor]
 
 

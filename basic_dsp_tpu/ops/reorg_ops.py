@@ -63,6 +63,9 @@ def zero_interleave(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     if factor <= 1:
         return x
     n = x.shape[-1]
+    # Kept as the exact scatter+reshape (NOT the MXU phase mux): the mux's
+    # one-hot matmuls leave ~3e-7 residue on TPU even at highest
+    # precision, and inserted zeros must be exactly zero.
     out = jnp.zeros(x.shape[:-1] + (n, factor), dtype=x.dtype)
     out = out.at[..., 0].set(x)
     return out.reshape(x.shape[:-1] + (n * factor,))

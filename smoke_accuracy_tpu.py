@@ -80,3 +80,18 @@ def conv_check():
     err = np.abs(got - want).max() / np.abs(want).max()
     print(f"convolve_signal toeplitz: {'OK' if err < 1e-5 else 'FAIL'}  rel_err={err:.2e}", flush=True)
 conv_check()
+
+def reorg_checks():
+    n = 1000
+    re = rng.normal(size=n).astype(np.float32)
+    im = rng.normal(size=n).astype(np.float32)
+    v = bd.interleave_to_complex_time_vec(re, im)
+    x = re.astype(np.complex128) + 1j*im
+    got = v.decimatei(4, 2).to_numpy()
+    err = np.abs(got - x[2::4]).max()
+    print(f"decimatei exact: {'OK' if err == 0 else 'FAIL'}  abs_err={err:.1e}", flush=True)
+    got = v.zero_interleave(3).to_numpy()
+    want = np.zeros(3*n, dtype=np.complex128); want[0::3] = x
+    err = np.abs(got - want).max()
+    print(f"zero_interleave exact: {'OK' if err == 0 else 'FAIL'}  abs_err={err:.1e}", flush=True)
+reorg_checks()
