@@ -127,9 +127,15 @@ class _ForeignWindow(windows.WindowFunction):
     (reference ForeignWindowFunction, interop/src/lib.rs:244-290):
     ``REAL fn(const void* data, size_t n, size_t points)``."""
 
+    def _key(self):
+        # Distinct C callbacks must never compare equal (value identity
+        # from the base class would collapse them to their type).
+        return (type(self), self._fn_ptr, self._data)
+
     def __init__(self, fn_ptr: int, data_ptr: int, is_symmetric: bool):
         import ctypes
         self.is_symmetric = bool(is_symmetric)
+        self._fn_ptr = int(fn_ptr)
         self._cb = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_void_p,
                                     ctypes.c_size_t,
                                     ctypes.c_size_t)(fn_ptr)
@@ -152,9 +158,15 @@ class _ForeignRealFunction(conv_types.RealImpulseResponse,
 
     _no_jit = True  # host callback: must evaluate eagerly, never traced
 
+    def _key(self):
+        # Distinct C callbacks must never compare equal (value identity
+        # from the base class would collapse them to their type).
+        return (type(self), self._fn_ptr, self._data)
+
     def __init__(self, fn_ptr: int, data_ptr: int, is_symmetric: bool):
         import ctypes
         self.is_symmetric = bool(is_symmetric)
+        self._fn_ptr = int(fn_ptr)
         self._cb = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_void_p,
                                     ctypes.c_double)(fn_ptr)
         self._data = data_ptr

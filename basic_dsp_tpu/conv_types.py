@@ -20,7 +20,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class RealImpulseResponse:
+class _ValueIdentity:
+    """Value-based identity for analytic kernels: jit caches key traced
+    programs on the kernel object (vector._jit_static), so equal-valued
+    instances must hash equal or every ``bd.SincFunction()`` construction
+    recompiles its consumers."""
+
+    def _key(self):
+        return (type(self),)
+
+    def __eq__(self, other):
+        return isinstance(other, _ValueIdentity) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
+
+
+class RealImpulseResponse(_ValueIdentity):
     """Time-domain, real-valued convolution function (conv_types.rs:15-25)."""
 
     is_symmetric: bool = True
@@ -29,7 +45,7 @@ class RealImpulseResponse:
         raise NotImplementedError
 
 
-class RealFrequencyResponse:
+class RealFrequencyResponse(_ValueIdentity):
     """Frequency-domain, real-valued response (conv_types.rs:28-38)."""
 
     is_symmetric: bool = True
@@ -48,6 +64,9 @@ class RaisedCosineFunction(RealImpulseResponse, RealFrequencyResponse):
 
     def __init__(self, rolloff: float):
         self.rolloff = float(rolloff)
+
+    def _key(self):
+        return (type(self), self.rolloff)
 
     def calc(self, x):
         x = jnp.asarray(x)
@@ -96,7 +115,7 @@ class SincFunction(RealImpulseResponse, RealFrequencyResponse):
             jnp.result_type(x, jnp.float32))
 
 
-class ComplexImpulseResponse:
+class ComplexImpulseResponse(_ValueIdentity):
     """Time-domain complex convolution function (conv_types.rs:41-51)."""
 
     is_symmetric: bool = False
@@ -105,7 +124,7 @@ class ComplexImpulseResponse:
         raise NotImplementedError
 
 
-class ComplexFrequencyResponse:
+class ComplexFrequencyResponse(_ValueIdentity):
     """Frequency-domain complex response (conv_types.rs:54-64)."""
 
     is_symmetric: bool = False
@@ -151,6 +170,11 @@ class _LinearTableLookup:
         self._table = jnp.asarray(table)
         self._delta = float(delta)
         self.is_symmetric = bool(is_symmetric)
+        self._value_hash = hash((type(self), self._delta, self.is_symmetric,
+                                 np.asarray(self._table).tobytes()))
+
+    def _key(self):
+        return (type(self), self._value_hash)
 
     @property
     def table(self):

@@ -18,6 +18,21 @@ class WindowFunction:
 
     is_symmetric: bool = True
 
+    def _key(self):
+        """Value identity: two instances with equal keys produce identical
+        windows.  Jit caches (vector._jit_static -> _planar.call) key traced
+        programs on the window object, so value-based equality lets freshly
+        constructed instances reuse compiled programs instead of
+        recompiling per instance."""
+        return (type(self),)
+
+    def __eq__(self, other):
+        return (isinstance(other, WindowFunction)
+                and self._key() == other._key())
+
+    def __hash__(self):
+        return hash(self._key())
+
     def window(self, n, length):
         """Evaluates the window at (array of) integer position(s) ``n``.
 
@@ -51,6 +66,9 @@ class HammingWindow(WindowFunction):
     def __init__(self, alpha: float = 0.54):
         self.alpha = float(alpha)
         self.beta = 1.0 - self.alpha
+
+    def _key(self):
+        return (type(self), self.alpha)
 
     def window(self, n, length):
         n = jnp.asarray(n)

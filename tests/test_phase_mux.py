@@ -91,3 +91,24 @@ def test_decimatei_zero_interleave_stay_exact():
     want = np.zeros(750, dtype=np.float32)
     want[0::3] = r
     np.testing.assert_array_equal(got, want)
+
+
+def test_fresh_kernel_instances_share_compiled_programs():
+    """bd.SincFunction()/windows hash by value, so jit caches keyed on the
+    kernel object (vector._jit_static -> _planar.call) hit across freshly
+    constructed instances instead of recompiling per instance."""
+    from basic_dsp_tpu import _planar
+    rng = np.random.default_rng(21)
+    x = (rng.normal(size=300) + 1j * rng.normal(size=300)).astype(np.complex64)
+    v = bd.to_complex_time_vec(x)
+    v.interpolatef(bd.SincFunction(), 1.5, 0.0, 8)
+    before = _planar._compiled.cache_info()
+    out2 = v.interpolatef(bd.SincFunction(), 1.5, 0.0, 8)  # fresh instance
+    after = _planar._compiled.cache_info()
+    assert after.misses == before.misses, "fresh SincFunction recompiled"
+    assert out2.points() == 450
+    assert bd.HammingWindow() == bd.HammingWindow()
+    assert bd.HammingWindow(0.5) != bd.HammingWindow(0.54)
+    assert bd.RaisedCosineFunction(0.35) == bd.RaisedCosineFunction(0.35)
+    assert bd.RaisedCosineFunction(0.35) != bd.RaisedCosineFunction(0.25)
+    assert bd.SincFunction() != bd.RaisedCosineFunction(0.35)
