@@ -95,3 +95,16 @@ def reorg_checks():
     err = np.abs(got - want).max()
     print(f"zero_interleave exact: {'OK' if err == 0 else 'FAIL'}  abs_err={err:.1e}", flush=True)
 reorg_checks()
+
+def fft_checks():
+    for n in (4096, 1 << 20):
+        re = rng.normal(size=n).astype(np.float32)
+        im = rng.normal(size=n).astype(np.float32)
+        v = bd.interleave_to_complex_time_vec(re, im)
+        got = v.plain_fft().to_numpy()
+        want = np.fft.fft(re.astype(np.float64) + 1j * im)
+        err = np.abs(got - want).max() / np.abs(want).max()
+        # f32 FFT error grows ~sqrt(log n)*eps; 1e-5 is the healthy range.
+        print(f"plain_fft n={n}: {'OK' if err < 5e-5 else 'FAIL'}  rel_err={err:.2e}",
+              flush=True)
+fft_checks()
