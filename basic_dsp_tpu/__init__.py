@@ -9,7 +9,9 @@ cross-correlation, fractional and FFT resampling, analytic convolution
 kernels and windows, a multi-channel matrix layer, and mesh-sharded
 multi-chip execution with halo exchange.
 """
-from .config import DspConfig, default_config, enable_x64, make_mesh, set_default_config
+from .config import (DspConfig, default_config, enable_x64, make_mesh,
+                     matmul_precision, set_default_config,
+                     set_matmul_precision)
 from .conv_types import (
     ComplexFrequencyLinearTableLookup,
     ComplexFrequencyResponse,

@@ -126,7 +126,9 @@ def is_complex_repr(x) -> bool:
 
 
 @functools.lru_cache(maxsize=1024)
-def _compiled(fn, mode: bool, static):
+def _compiled(fn, mode: bool, static, _epoch: int):
+    """_epoch folds config.precision_epoch() into the cache key so that
+    set_matmul_precision() immediately invalidates traced programs."""
     @jax.jit
     def g(*arrays):
         args = [unwrap(a) for a in arrays]
@@ -148,7 +150,9 @@ def call(fn, *arrays, static=()):
             PlanarComplex(jnp.asarray(a.real), jnp.asarray(a.imag))
             if isinstance(a, complex) else a
             for a in arrays)
-    return _compiled(fn, mode, tuple(static))(*arrays)
+    from . import config
+    return _compiled(fn, mode, tuple(static),
+                     config.precision_epoch())(*arrays)
 
 
 def to_host(x) -> np.ndarray:

@@ -43,6 +43,34 @@ class DspConfig:
 
 _default_config = DspConfig()
 
+# MXU matmul precision dial.  "highest" (the default) keeps f32-exact
+# results (~2e-7 on-chip) as required by the reference's accuracy
+# contract; "high" (3-pass bf16) trades ~1e-5 accuracy for ~2x matmul
+# throughput and "default" (raw bf16, ~5e-3) is the TPU-native analog of
+# the reference's ``*_approx`` fast-math family
+# (simd_extensions/approximations.rs).  The epoch invalidates cached jit
+# programs (see _planar.call) so the dial takes effect immediately.
+_matmul_precision = "highest"
+_precision_epoch = 0
+
+
+def matmul_precision() -> str:
+    return _matmul_precision
+
+
+def precision_epoch() -> int:
+    return _precision_epoch
+
+
+def set_matmul_precision(precision: str) -> None:
+    """Sets the MXU contraction precision: "highest" | "high" | "default"."""
+    if precision not in ("highest", "high", "default"):
+        raise ValueError("precision must be 'highest', 'high' or 'default'")
+    global _matmul_precision, _precision_epoch
+    if precision != _matmul_precision:
+        _matmul_precision = precision
+        _precision_epoch += 1
+
 
 def default_config() -> DspConfig:
     return _default_config

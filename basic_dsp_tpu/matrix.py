@@ -27,7 +27,7 @@ from .errors import DspError, ErrorReason
 from .meta import DataDomain, NumberSpace
 from .ops import conv_ops, stats_ops
 from .vector import DspVector, _complex_dtype_for
-from . import _planar
+from . import _planar, config
 
 __all__ = [
     "DspMatrix", "RealTimeMatrix", "RealFreqMatrix", "ComplexTimeMatrix",
@@ -188,7 +188,8 @@ def _convolve_mat(x, imp, is_complex):
     g = conv_ops.kernel_layout(imp.astype(cdtype), n)  # (C, C, n)
     G = jnp.fft.fft(g, axis=-1)
     X = jnp.fft.fft(x.astype(cdtype), axis=-1)  # (C, n)
-    Y = jnp.einsum("crn,rn->cn", G, X, precision="highest")
+    Y = jnp.einsum("crn,rn->cn", G, X,
+                   precision=config.matmul_precision())
     out = jnp.fft.ifft(Y, axis=-1)
     if not is_complex:
         out = jnp.real(out).astype(x.dtype)

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
+
 
 def next_power_of_two(value: int) -> int:
     """Reference convolution.rs:270-282."""
@@ -181,8 +183,9 @@ def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
         Ta = jnp.where(jnp.asarray(mask), q[..., idx], 0).astype(dtype)
         block = ext[..., 128 * a: 128 * a + R * 128].reshape(
             x.shape[:-1] + (R, 128))
-        out = out + jnp.matmul(block, Ta,
-                                precision="highest").reshape(out.shape)
+        out = out + jnp.matmul(
+            block, Ta,
+            precision=config.matmul_precision()).reshape(out.shape)
     out = out[..., :n]
     return out if is_complex else jnp.real(out).astype(x.dtype)
 
@@ -226,7 +229,8 @@ def toeplitz_conv_multi(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
         block = ext[..., 128 * a: 128 * a + R * 128].reshape(
             x.shape[:-1] + (R, 128))
         out = out + jnp.einsum("...rk,pkl->...prl", block, Ta,
-                               precision="highest").reshape(out.shape)
+                               precision=config.matmul_precision()
+                               ).reshape(out.shape)
     return out[..., :n]
 
 

@@ -15,6 +15,8 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
+
 
 def reverse(x: jnp.ndarray) -> jnp.ndarray:
     return x[..., ::-1]
@@ -129,7 +131,7 @@ def phase_mux(phases: jnp.ndarray, Q: int, offs, out_len: int) -> jnp.ndarray:
         onehot = np.zeros((P, Q), dtype=np.float32)
         onehot[np.arange(P), np.asarray(offs)] = 1.0
         out_kp = jnp.einsum("...pkq,pq->...kp", C2, jnp.asarray(onehot),
-                            precision="highest")
+                            precision=config.matmul_precision())
         return out_kp.reshape(out_kp.shape[:-2] + (k * P,))[..., :out_len]
     span = 128 * Q
     B = 128 * P
@@ -139,5 +141,6 @@ def phase_mux(phases: jnp.ndarray, Q: int, offs, out_len: int) -> jnp.ndarray:
         phases = jnp.pad(phases, pad)
     C3 = phases.reshape(phases.shape[:-1] + (nblocks, span))
     S = jnp.asarray(_mux_selector(P, Q, tuple(int(o) for o in offs)))
-    out = jnp.einsum("...pbf,jpf->...bj", C3, S, precision="highest")
+    out = jnp.einsum("...pbf,jpf->...bj", C3, S,
+                     precision=config.matmul_precision())
     return out.reshape(out.shape[:-2] + (nblocks * B,))[..., :out_len]

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import config
+
 
 def polyphase_channelizer(x: jnp.ndarray, prototype: jnp.ndarray,
                           n_channels: int) -> jnp.ndarray:
@@ -57,7 +59,7 @@ def polyphase_channelizer(x: jnp.ndarray, prototype: jnp.ndarray,
     windows = xp[..., idx]                            # (C, n/C, T)
     u = jnp.einsum("cnt,ct->cn", windows,
                    taps[..., ::-1].astype(windows.dtype),
-                   precision="highest")
+                   precision=config.matmul_precision())
     # Channel mixing: y_k[m] = sum_p u_p[m] e^{-2pi i k p / C} == DFT over
     # the phase axis.
     return jnp.fft.fft(u, axis=0)

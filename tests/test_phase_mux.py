@@ -112,3 +112,30 @@ def test_fresh_kernel_instances_share_compiled_programs():
     assert bd.RaisedCosineFunction(0.35) == bd.RaisedCosineFunction(0.35)
     assert bd.RaisedCosineFunction(0.35) != bd.RaisedCosineFunction(0.25)
     assert bd.SincFunction() != bd.RaisedCosineFunction(0.35)
+
+
+def test_matmul_precision_dial_invalidates_programs():
+    """config.set_matmul_precision bumps the epoch keyed into _planar's jit
+    cache, so the dial takes effect without stale programs (the TPU-native
+    analog of the reference's *_approx fast-math family)."""
+    from basic_dsp_tpu import _planar, config
+    rng = np.random.default_rng(31)
+    x = (rng.normal(size=2048) + 1j * rng.normal(size=2048)).astype(np.complex64)
+    h = (rng.normal(size=31)).astype(np.float32)
+    try:
+        v = bd.to_complex_time_vec(x)
+        hv = bd.to_real_time_vec(h)
+        base = v.convolve_signal(hv.to_complex()).to_numpy()
+        before = _planar._compiled.cache_info()
+        config.set_matmul_precision("high")
+        relaxed = v.convolve_signal(hv.to_complex()).to_numpy()
+        after = _planar._compiled.cache_info()
+        assert after.misses > before.misses, "precision change must retrace"
+        # CPU executes every precision tier with full f32 math, so results
+        # stay equal here; the on-chip difference is covered by
+        # smoke_accuracy_tpu.py.
+        np.testing.assert_allclose(relaxed, base, rtol=0, atol=1e-4)
+        with pytest.raises(ValueError):
+            config.set_matmul_precision("fast")
+    finally:
+        config.set_matmul_precision("highest")
