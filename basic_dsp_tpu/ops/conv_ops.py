@@ -136,10 +136,15 @@ def overlap_save(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
     return out if is_complex else jnp.real(out).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("is_complex",))
 def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
     """MXU-native direct evaluation of the circular centered convolution
     for short kernels.
+
+    The matmul-precision dial is resolved HERE, outside the jitted impl,
+    and passed as a static argument: an inner ``@jax.jit`` that read the
+    dial ambiently would serve its stale cached jaxpr after
+    ``set_matmul_precision`` (jax's trace cache knows nothing about our
+    config epoch).
 
     The reference's SIMD path precomputes register-shifted kernel copies and
     runs a vector MAC loop (time_freq/mod.rs:81-165, 498-610).  The TPU
@@ -151,6 +156,11 @@ def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
     ``sum_a rowshift_a(Z) @ T_a`` — a handful of (n/128, 128) x (128, 128)
     matmuls, no gathers, no FFT.
     """
+    return _toeplitz_conv_impl(x, h, is_complex, config.matmul_precision())
+
+
+@functools.partial(jax.jit, static_argnames=("is_complex", "precision"))
+def _toeplitz_conv_impl(x, h, is_complex: bool, precision: str):
     n = x.shape[-1]
     m = h.shape[-1]
     start, length, c = _clip_kernel(n, m)
@@ -183,9 +193,8 @@ def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
         Ta = jnp.where(jnp.asarray(mask), q[..., idx], 0).astype(dtype)
         block = ext[..., 128 * a: 128 * a + R * 128].reshape(
             x.shape[:-1] + (R, 128))
-        out = out + jnp.matmul(
-            block, Ta,
-            precision=config.matmul_precision()).reshape(out.shape)
+        out = out + jnp.matmul(block, Ta,
+                               precision=precision).reshape(out.shape)
     out = out[..., :n]
     return out if is_complex else jnp.real(out).astype(x.dtype)
 

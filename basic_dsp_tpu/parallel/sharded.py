@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import config
 from ..ops import conv_ops, stats_ops
 
 
@@ -86,7 +87,8 @@ def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
     cdtype = jnp.result_type(x.dtype, h.dtype, jnp.complex64)
     h_eff = h[..., start:start + length].astype(cdtype)
 
-    fn = _sharded_conv_fn(mesh, axis_name, m_eff, c, fft_len)
+    fn = _sharded_conv_fn(mesh, axis_name, m_eff, c, fft_len,
+                           config.precision_epoch())
     out = fn(x.astype(cdtype), h_eff)
     if not jnp.iscomplexobj(x) and not jnp.iscomplexobj(h):
         out = jnp.real(out).astype(x.dtype)
@@ -95,9 +97,10 @@ def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
 
 @functools.lru_cache(maxsize=64)
 def _sharded_conv_fn(mesh: Mesh, axis_name: str, m_eff: int, c: int,
-                     fft_len: int):
+                     fft_len: int, _precision_epoch: int = 0):
     """Jitted shard_map conv, cached per (mesh, kernel geometry) so repeated
-    calls reuse the compiled executable."""
+    calls reuse the compiled executable.  ``_precision_epoch`` folds the
+    matmul-precision dial into the key (see config.set_matmul_precision)."""
     body = functools.partial(_local_overlap_save, m_eff=m_eff, c=c,
                              fft_len=fft_len, axis_name=axis_name)
     return jax.jit(jax.shard_map(
