@@ -148,6 +148,22 @@ def _combine_real_imag(re, im):
     return re.astype(cdtype) + 1j * im.astype(cdtype)
 
 
+def _tiled_binary(a, b, op, reps):
+    return op(a, jnp.tile(b, reps))
+
+
+def _complex_to_interleaved(x):
+    inter = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
+    return inter.reshape(x.shape[:-1] + (2 * x.shape[-1],))
+
+
+def _interleaved_to_complex(x):
+    n = x.shape[-1] - x.shape[-1] % 2
+    pairs = x[..., :n].reshape(x.shape[:-1] + (n // 2, 2))
+    cdtype = _complex_dtype_for(x.dtype)
+    return pairs[..., 0].astype(cdtype) + 1j * pairs[..., 1].astype(cdtype)
+
+
 def _combine_mag_phase(mag, phase):
     cdtype = _complex_dtype_for(mag.dtype)
     return mag.astype(cdtype) * jnp.exp(1j * phase.astype(cdtype))
@@ -397,21 +413,25 @@ class DspVector:
         if other.points() == 0 or self.points() % other.points() != 0:
             return self._invalid(ErrorReason.INVALID_ARGUMENT_LENGTH)
         reps = self.points() // other.points()
-        return self._make(op(self._data, jnp.tile(other._data, reps)))
+        # Through the planar funnel (module-level fn + static op/reps keep
+        # the jit cache stable): eager jnp.tile on PlanarComplex raises, and
+        # eager complex arithmetic fails outright on axon-style backends.
+        return self._make(_jit_static(_tiled_binary, op, reps)(
+            self._data, other._data))
 
     def add_smaller(self, other: "DspVector") -> "DspVector":
         """Wrap-around add: the argument tiles cyclically
         (reference elementary.rs:165-272)."""
-        return self._smaller_op(other, lambda a, b: a + b)
+        return self._smaller_op(other, _operator.add)
 
     def sub_smaller(self, other: "DspVector") -> "DspVector":
-        return self._smaller_op(other, lambda a, b: a - b)
+        return self._smaller_op(other, _operator.sub)
 
     def mul_smaller(self, other: "DspVector") -> "DspVector":
-        return self._smaller_op(other, lambda a, b: a * b)
+        return self._smaller_op(other, _operator.mul)
 
     def div_smaller(self, other: "DspVector") -> "DspVector":
-        return self._smaller_op(other, lambda a, b: a / b)
+        return self._smaller_op(other, _operator.truediv)
 
     def scale(self, factor) -> "DspVector":
         if isinstance(factor, complex) and not self.is_complex():
@@ -589,9 +609,10 @@ class DspVector:
             return bad
         if mag.points() != phase.points():
             return self._invalid(ErrorReason.INPUT_MUST_HAVE_THE_SAME_SIZE)
-        cdtype = _complex_dtype_for(mag._data.dtype)
-        return self._make(mag._data.astype(cdtype)
-                          * jnp.exp(1j * phase._data.astype(cdtype)))
+        # Through the funnel: eager complex exp fails on axon-style
+        # backends, and planar mode must wrap the complex result.
+        return self._make(
+            _jit_binary(_combine_mag_phase)(mag._data, phase._data))
 
     def to_complex(self) -> "DspVector":
         """Real -> complex with zero imaginary part
@@ -722,16 +743,15 @@ class DspVector:
                domain: Optional[DataDomain] = None) -> "DspVector":
         domain = domain or self._domain
         data = self._data
+        # Both interleave conversions run inside the planar funnel: the
+        # stored data may be a PlanarComplex (planar mode) and the complex
+        # result must cross program boundaries as planes on axon.
         if space == NumberSpace.COMPLEX and not self.is_complex():
             # Pair up interleaved reals (odd tail dropped -> len 0 per the
             # reference's odd-complex rule, to_from_vec_conversions.rs).
-            n = data.shape[0] - data.shape[0] % 2
-            pairs = data[:n].reshape(-1, 2)
-            cdtype = _complex_dtype_for(data.dtype)
-            data = pairs[:, 0].astype(cdtype) + 1j * pairs[:, 1].astype(cdtype)
+            data = _jit_unary(_interleaved_to_complex)(data)
         elif space == NumberSpace.REAL and self.is_complex():
-            inter = jnp.stack([jnp.real(data), jnp.imag(data)], axis=-1)
-            data = inter.reshape(-1)
+            data = _jit_unary(_complex_to_interleaved)(data)
         if self._is_gen():
             return self._gen_class()(data, self._delta, domain, space)
         return self._flavor_class(space, domain)(data, self._delta)
@@ -1257,7 +1277,9 @@ def interleave_to_complex_time_vec(real, imag,
 def interleave_to_complex_freq_vec(real, imag,
                                    delta: float = 1.0) -> ComplexFreqVector:
     v = interleave_to_complex_time_vec(real, imag, delta)
-    return ComplexFreqVector(v.array, delta)
+    # Pass the stored representation through (may be PlanarComplex);
+    # v.array would eagerly materialize a complex host array.
+    return ComplexFreqVector(v._data, delta)
 
 
 # ----------------------------------------------------------------------

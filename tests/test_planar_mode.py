@@ -123,6 +123,50 @@ def test_mixed_mode_interop():
     assert out.points() == 50
 
 
+def test_smaller_ops_planar():
+    """add/sub/mul/div_smaller tile through the funnel — eager jnp.tile on
+    PlanarComplex used to raise (advisor r1 #1)."""
+    v, data = cvec(64)
+    w, other = cvec(16, seed=3)
+    tiled = np.tile(other, 4)
+    assert_vector_eq(v.add_smaller(w).to_numpy(), data + tiled, tol=1e-9)
+    assert_vector_eq(v.sub_smaller(w).to_numpy(), data - tiled, tol=1e-9)
+    assert_vector_eq(v.mul_smaller(w).to_numpy(), data * tiled, tol=1e-9)
+    assert_vector_eq(v.div_smaller(w).to_numpy(), data / tiled, tol=1e-7)
+
+
+def test_rededicate_planar():
+    """complex<->real interleave reinterpretation inside the funnel
+    (advisor r1 #2)."""
+    v, data = cvec(32)
+    r = v.rededicate_to(bd.NumberSpace.REAL, bd.DataDomain.TIME)
+    assert not r.is_complex()
+    inter = np.empty(64, dtype=np.float64)
+    inter[0::2], inter[1::2] = data.real, data.imag
+    assert_vector_eq(r.to_numpy(), inter, tol=1e-9)
+    back = r.rededicate_to(bd.NumberSpace.COMPLEX, bd.DataDomain.TIME)
+    assert back.is_complex() and _planar.is_planar(back._data)
+    assert_vector_eq(back.to_numpy(), data, tol=1e-9)
+
+
+def test_set_mag_phase_planar():
+    """set_mag_phase via the funnel — eager complex exp used to escape the
+    planar invariant (advisor r1 #3)."""
+    v, data = cvec(48)
+    mag, phase = v.magnitude(), v.phase()
+    rebuilt = v.set_mag_phase(mag, phase)
+    assert _planar.is_planar(rebuilt._data)
+    assert_vector_eq(rebuilt.to_numpy(), data, tol=1e-7)
+
+
+def test_interleave_freq_constructor_planar():
+    re = create_data(11, 24)
+    im = create_data(12, 24)
+    v = bd.interleave_to_complex_freq_vec(re, im)
+    assert _planar.is_planar(v._data)
+    assert_vector_eq(v.to_numpy(), re + 1j * im, tol=1e-9)
+
+
 def test_gen_erroneous_planar():
     g = bd.to_gen_dsp_vec(np.ones(4), is_complex=False)
     bad = g.conj()

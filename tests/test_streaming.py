@@ -37,6 +37,70 @@ def test_streaming_state_carries():
     assert_vector_eq(got, expected, tol=1e-4)
 
 
+def test_streaming_one_tap_kernel():
+    """m=1 regression: the tail must stay empty, not grow to the chunk."""
+    fir = streaming.StreamingFir(jnp.asarray([2.0 + 0j]))
+    state = fir.init_state(jnp.complex64)
+    assert state.tail.shape == (0,)
+    c = jnp.asarray(np.arange(8, dtype=np.complex64))
+    out, state = fir.process(c, state)
+    assert state.tail.shape == (0,)
+    assert_vector_eq(np.asarray(out), 2.0 * np.arange(8), tol=1e-6)
+    # and through the scan harness (carry structure must be stable)
+    x = create_complex_data(3, 64, dtype=np.complex64)
+    got = np.asarray(streaming.stream_chunks(fir, jnp.asarray(x), 16))
+    assert_vector_eq(got, 2.0 * x, tol=1e-5)
+
+
+def test_streaming_real_dtype_stays_real():
+    x = np.random.default_rng(0).normal(size=512).astype(np.float32)
+    h = np.hamming(17).astype(np.float32)
+    fir = streaming.StreamingFir(jnp.asarray(h))
+    out = streaming.stream_chunks(fir, jnp.asarray(x), 128)
+    assert out.dtype == jnp.float32
+    lin = np.convolve(x, h)
+    assert_vector_eq(np.asarray(out), lin[:512].astype(np.float32), tol=1e-3)
+
+
+def test_streaming_nondivisible_tail():
+    """A chunk_size that doesn't divide n must still produce every sample."""
+    n, m, chunk = 1000, 21, 256  # 1000 = 3*256 + 232
+    x = create_complex_data(5, n, dtype=np.complex64)
+    h = create_complex_data(6, m, dtype=np.complex64)
+    fir = streaming.StreamingFir(jnp.asarray(h))
+    out = np.asarray(streaming.stream_chunks(fir, jnp.asarray(x), chunk))
+    assert out.shape == (n,)
+    lin = np.convolve(x, h)
+    assert_vector_eq(out, lin[:n], tol=1e-3)
+
+
+def test_streaming_chunk_size_sweep():
+    """Chunked output is chunk-size invariant, incl. long-kernel regime
+    (m > chunk) where the whole-extent FFT path engages."""
+    n, m = 768, 129
+    x = create_complex_data(7, n, dtype=np.complex64)
+    h = create_complex_data(8, m, dtype=np.complex64)
+    fir = streaming.StreamingFir(jnp.asarray(h))
+    lin = np.convolve(x, h)[:n]
+    for chunk in (64, 96, 256, 768):
+        out = np.asarray(streaming.stream_chunks(fir, jnp.asarray(x), chunk))
+        assert_vector_eq(out, lin, tol=1e-3)
+
+
+def test_streaming_no_recompile_across_instances():
+    """Equal-shape taps share one compiled step (taps are traced, not
+    baked): a second instance must not add jit cache entries."""
+    h1 = create_complex_data(1, 33, dtype=np.complex64)
+    h2 = create_complex_data(2, 33, dtype=np.complex64)
+    f1 = streaming.StreamingFir(jnp.asarray(h1))
+    x = jnp.asarray(create_complex_data(3, 256, dtype=np.complex64))
+    f1.process(x, f1.init_state(jnp.complex64))
+    before = streaming._fir_step._cache_size()
+    f2 = streaming.StreamingFir(jnp.asarray(h2))
+    f2.process(x, f2.init_state(jnp.complex64))
+    assert streaming._fir_step._cache_size() == before
+
+
 def test_dsp_chain_is_differentiable():
     """jax.grad flows through vector ops (pytree + pure functions) — a
     capability the reference cannot offer."""
