@@ -185,8 +185,51 @@ class _ForeignRealFunction(conv_types.RealImpulseResponse,
         return self._eval(x)
 
 
+class _ForeignComplexFunction(conv_types.ComplexImpulseResponse,
+                              conv_types.ComplexFrequencyResponse):
+    """Complex-valued impulse/frequency response backed by a C function
+    pointer returning a {double re, im} struct (reference
+    ForeignComplexConvolutionFunction, interop/src/lib.rs:313-377)."""
+
+    _no_jit = True  # host callback: must evaluate eagerly, never traced
+
+    def _key(self):
+        return (type(self), self._fn_ptr, self._data)
+
+    def __init__(self, fn_ptr: int, data_ptr: int, is_symmetric: bool):
+        import ctypes
+
+        class _BC(ctypes.Structure):
+            _fields_ = [("re", ctypes.c_double), ("im", ctypes.c_double)]
+
+        self.is_symmetric = bool(is_symmetric)
+        self._fn_ptr = int(fn_ptr)
+        self._cb = ctypes.CFUNCTYPE(_BC, ctypes.c_void_p,
+                                    ctypes.c_double)(fn_ptr)
+        self._data = data_ptr
+
+    def _eval(self, x):
+        import jax.numpy as jnp
+        arr = np.asarray(x, dtype=np.float64)
+        vals = np.empty(arr.size, dtype=np.complex128)
+        for i, v in enumerate(arr.ravel()):
+            r = self._cb(self._data, float(v))
+            vals[i] = complex(r.re, r.im)
+        return jnp.asarray(vals.reshape(arr.shape))
+
+    def calc(self, x):
+        return self._eval(x)
+
+    def calc_freq(self, x):
+        return self._eval(x)
+
+
 def make_foreign_window(fn_ptr: int, data_ptr: int, is_symmetric: int):
     return _ForeignWindow(fn_ptr, data_ptr, bool(is_symmetric))
+
+
+def make_foreign_complex_fn(fn_ptr: int, data_ptr: int, is_symmetric: int):
+    return _ForeignComplexFunction(fn_ptr, data_ptr, bool(is_symmetric))
 
 
 def make_foreign_real_fn(fn_ptr: int, data_ptr: int, is_symmetric: int):

@@ -71,6 +71,25 @@ typedef double (*bdsp_window_fn)(const void *user_data, size_t n,
 /* Custom impulse/frequency response: fn(data, x) -> value. */
 typedef double (*bdsp_conv_fn)(const void *user_data, double x);
 
+/* Complex value passed across the C boundary (always double precision,
+ * like ScalarResult/ComplexResult). */
+typedef struct {
+  double re;
+  double im;
+} BdspComplex;
+/* Complex map callback: fn(re, im, index, data) -> mapped complex
+ * (reference map_inplace_complex32, facade32.rs:603-609). */
+typedef BdspComplex (*bdsp_map_complex_fn)(double re, double im, size_t index,
+                                           const void *user_data);
+/* Complex aggregation callback: fn(a, b, data) -> combined
+ * (the typed analog of the reference's void* aggregate,
+ * facade32.rs:634-652). */
+typedef BdspComplex (*bdsp_agg_complex_fn)(BdspComplex a, BdspComplex b,
+                                           const void *user_data);
+/* Complex-valued impulse/frequency response: fn(data, x) -> (re, im)
+ * (reference ForeignComplexConvolutionFunction, lib.rs:313-377). */
+typedef BdspComplex (*bdsp_conv_complex_fn)(const void *user_data, double x);
+
 /* Runtime ------------------------------------------------------------- */
 int32_t bdsp_init(void);
 const char *bdsp_last_error(void);
@@ -264,7 +283,89 @@ void bdsp_free(void *p);
                                       REAL delay, size_t conv_len);            \
   VectorResult interpolatei_custom##X(DspVec *v, bdsp_conv_fn fn,              \
                                       const void *user_data,                   \
-                                      int32_t is_symmetric, int32_t factor);
+                                      int32_t is_symmetric, int32_t factor);   \
+  /* ---- reference-parity tail (facade32.rs names) ---- */                    \
+  /* raw access: pointer into a host cache owned by the handle, valid until   \
+   * the next operation on (or deletion of) the handle.  For complex         \
+   * vectors the layout is interleaved re,im pairs (reference data32 /       \
+   * complex_data32, facade32.rs:158-165). */                                  \
+  const REAL *data##X(DspVec *v);                                              \
+  const REAL *complex_data##X(DspVec *v);                                      \
+  /* XLA owns device buffers, so allocated == logical length               \
+   * (reference get_allocated_len32, facade32.rs:168). */                      \
+  size_t get_allocated_len##X(DspVec *v);                                      \
+  VectorResult overwrite_data##X(DspVec *v, const REAL *data, size_t len);     \
+  /* len counts interleaved float elements (reference set_len32). */           \
+  VectorResult set_len##X(DspVec *v, size_t len);                              \
+  /* Threading knobs are accepted for API parity and ignored: XLA owns       \
+   * scheduling on TPU (reference new_with_performance_options32,            \
+   * facade32.rs:44-100). */                                                   \
+  DspVec *new_with_performance_options##X(int32_t is_complex, int32_t domain,  \
+                                          REAL init_value, size_t length,      \
+                                          REAL delta, size_t core_limit);      \
+  DspVec *new_with_detailed_performance_options##X(                            \
+      int32_t is_complex, int32_t domain, REAL init_value, size_t length,      \
+      REAL delta, size_t core_limit, size_t med_dual_core_threshold,           \
+      size_t med_multi_core_threshold, size_t large_dual_core_threshold,       \
+      size_t large_multi_core_threshold);                                      \
+  /* pair getters: overwrite the target handles (reference                    \
+   * get_real_imag32/get_mag_phase32, facade32.rs:768-783). */                 \
+  int32_t get_real_imag##X(DspVec *v, DspVec *re, DspVec *im);                 \
+  int32_t get_mag_phase##X(DspVec *v, DspVec *mag, DspVec *phase);             \
+  /* v * (1 / (re + i im)) (reference complex_divide32). */                    \
+  VectorResult complex_divide##X(DspVec *v, REAL re, REAL im);                 \
+  /* NOTE: the library also exports powf32/64 and expf32/64 (the reference  \
+   * facade spellings, aliases of real_powf/real_expf) — they cannot be      \
+   * declared here because glibc claims those names for the _FloatN math     \
+   * functions; dlsym them or call the real_* spellings. */                    \
+  /* reference spellings of the by-id convolution ops */                       \
+  VectorResult convolve##X(DspVec *v, int32_t function_id, REAL rolloff,       \
+                           REAL ratio, size_t length);                         \
+  VectorResult multiply_frequency_response##X(DspVec *v, int32_t function_id,  \
+                                              REAL rolloff, REAL ratio);       \
+  /* reference *_vector spellings of the elementary binary ops */              \
+  VectorResult add_vector##X(DspVec *a, DspVec *b);                            \
+  VectorResult sub_vector##X(DspVec *a, DspVec *b);                            \
+  VectorResult mul_vector##X(DspVec *a, DspVec *b);                            \
+  VectorResult div_vector##X(DspVec *a, DspVec *b);                            \
+  VectorResult add_smaller_vector##X(DspVec *a, DspVec *b);                    \
+  VectorResult sub_smaller_vector##X(DspVec *a, DspVec *b);                    \
+  VectorResult mul_smaller_vector##X(DspVec *a, DspVec *b);                    \
+  VectorResult div_smaller_vector##X(DspVec *a, DspVec *b);                    \
+  VectorResult prepare_argument##X(DspVec *v);                                 \
+  /* precise / complex statistics families */                                  \
+  int32_t complex_statistics_prec##X(DspVec *v, ComplexStatistics *out);       \
+  int32_t complex_statistics_split##X(DspVec *v, size_t len,                   \
+                                      ComplexStatistics *out);                 \
+  int32_t complex_statistics_split_prec##X(DspVec *v, size_t len,              \
+                                           ComplexStatistics *out);            \
+  int32_t real_statistics_split_prec##X(DspVec *v, size_t len,                 \
+                                        RealStatistics *out);                  \
+  /* custom-window symmetric transforms */                                     \
+  VectorResult windowed_custom_sfft##X(DspVec *v, bdsp_window_fn fn,           \
+                                       const void *user_data,                  \
+                                       int32_t is_symmetric);                  \
+  VectorResult windowed_custom_sifft##X(DspVec *v, bdsp_window_fn fn,          \
+                                        const void *user_data,                 \
+                                        int32_t is_symmetric);                 \
+  /* complex user-callback mapping */                                          \
+  VectorResult map_inplace_complex##X(DspVec *v, bdsp_map_complex_fn fn,       \
+                                      const void *user_data);                  \
+  ComplexResult map_aggregate_complex##X(DspVec *v, bdsp_map_complex_fn map,   \
+                                         bdsp_agg_complex_fn aggregate,        \
+                                         const void *user_data);               \
+  /* complex-valued custom convolution functions */                            \
+  VectorResult convolve_complex##X(DspVec *v, bdsp_conv_complex_fn fn,         \
+                                   const void *user_data,                      \
+                                   int32_t is_symmetric, REAL ratio,           \
+                                   size_t length);                             \
+  VectorResult multiply_frequency_response_complex##X(                         \
+      DspVec *v, bdsp_conv_complex_fn fn, const void *user_data,               \
+      int32_t is_symmetric, REAL ratio);                                       \
+  VectorResult interpolate_custom##X(DspVec *v, bdsp_conv_fn fn,               \
+                                     const void *user_data,                    \
+                                     int32_t is_symmetric, size_t dest_points, \
+                                     REAL delay);
 
 BDSP_DECLARE(32, float)
 BDSP_DECLARE(64, double)

@@ -18,6 +18,10 @@
 
 struct DspVec {
   PyObject *obj;  // basic_dsp_tpu vector instance (owned reference)
+  // Host-side caches backing data32/64 and complex_data32/64 raw pointers
+  // (valid until the next operation on the handle).
+  std::vector<float> cache_f;
+  std::vector<double> cache_d;
 };
 
 namespace {
@@ -235,14 +239,23 @@ int32_t fill_real_stats(DspVec *v, const char *method, RealStatistics *out) {
   return 0;
 }
 
-int32_t fill_complex_stats(DspVec *v, ComplexStatistics *out) {
+void cstats_to_struct(PyObject *res, ComplexStatistics *out);
+
+int32_t fill_complex_stats(DspVec *v, ComplexStatistics *out,
+                           const char *method = "statistics") {
   Gil gil;
-  PyObject *res = PyObject_CallMethod(v->obj, "statistics", nullptr);
+  PyObject *res = PyObject_CallMethod(v->obj, method, nullptr);
   if (!res) {
     record_py_error();
     PyErr_Clear();
     return -1;
   }
+  cstats_to_struct(res, out);
+  Py_DECREF(res);
+  return 0;
+}
+
+void cstats_to_struct(PyObject *res, ComplexStatistics *out) {
   Py_complex c;
   c = stat_field_c(res, "sum");
   out->sum_re = c.real;
@@ -262,13 +275,12 @@ int32_t fill_complex_stats(DspVec *v, ComplexStatistics *out) {
   out->max_re = c.real;
   out->max_im = c.imag;
   out->max_index = (uint64_t)stat_field(res, "max_index");
-  Py_DECREF(res);
-  return 0;
 }
 
-int32_t fill_split_stats(DspVec *v, size_t len, RealStatistics *out) {
+int32_t fill_split_stats(DspVec *v, size_t len, RealStatistics *out,
+                         const char *method = "statistics_split") {
   Gil gil;
-  PyObject *res = PyObject_CallMethod(v->obj, "statistics_split", "(n)",
+  PyObject *res = PyObject_CallMethod(v->obj, method, "(n)",
                                       (Py_ssize_t)len);
   if (!res) {
     record_py_error();
@@ -283,6 +295,150 @@ int32_t fill_split_stats(DspVec *v, size_t len, RealStatistics *out) {
   }
   Py_DECREF(res);
   return (int32_t)n;
+}
+
+int32_t fill_split_stats_complex(DspVec *v, size_t len,
+                                 ComplexStatistics *out,
+                                 const char *method) {
+  Gil gil;
+  PyObject *res = PyObject_CallMethod(v->obj, method, "(n)",
+                                      (Py_ssize_t)len);
+  if (!res) {
+    record_py_error();
+    PyErr_Clear();
+    return -1;
+  }
+  Py_ssize_t n = PySequence_Size(res);
+  for (Py_ssize_t i = 0; i < n && (size_t)i < len; ++i) {
+    PyObject *item = PySequence_GetItem(res, i);
+    cstats_to_struct(item, &out[i]);
+    Py_DECREF(item);
+  }
+  Py_DECREF(res);
+  return (int32_t)n;
+}
+
+// Fetches the vector's interleaved doubles into `values` (host copy).
+int32_t fetch_interleaved(DspVec *v, std::vector<double> *values) {
+  Gil gil;
+  PyObject *args = Py_BuildValue("(O)", v->obj);
+  PyObject *arr = support_call("get_interleaved", args);
+  Py_DECREF(args);
+  if (!arr) {
+    PyErr_Clear();
+    return -1;
+  }
+  Py_buffer view;
+  if (PyObject_GetBuffer(arr, &view, PyBUF_CONTIG_RO) != 0) {
+    Py_DECREF(arr);
+    PyErr_Clear();
+    return -1;
+  }
+  size_t n = (size_t)(view.len / sizeof(double));
+  const double *src = (const double *)view.buf;
+  values->assign(src, src + n);
+  PyBuffer_Release(&view);
+  Py_DECREF(arr);
+  return 0;
+}
+
+// Replaces the vector's contents with `values` (interleaved doubles).
+VectorResult store_interleaved(DspVec *v, const std::vector<double> &values) {
+  Gil gil;
+  VectorResult out{-1, v};
+  PyObject *list = PyList_New((Py_ssize_t)values.size());
+  for (size_t i = 0; i < values.size(); ++i)
+    PyList_SET_ITEM(list, (Py_ssize_t)i, PyFloat_FromDouble(values[i]));
+  PyObject *args = Py_BuildValue("(ON)", v->obj, list);
+  PyObject *res = support_call("replace_interleaved", args);
+  Py_DECREF(args);
+  if (!res) {
+    PyErr_Clear();
+    return out;
+  }
+  Py_DECREF(v->obj);
+  v->obj = res;
+  out.result_code = 0;
+  return out;
+}
+
+VectorResult map_inplace_complex_impl(DspVec *v, bdsp_map_complex_fn fn,
+                                      const void *user_data) {
+  VectorResult out{-1, v};
+  std::vector<double> values;
+  if (fetch_interleaved(v, &values) != 0) return out;
+  size_t pairs = values.size() / 2;
+  for (size_t i = 0; i < pairs; ++i) {
+    BdspComplex r = fn(values[2 * i], values[2 * i + 1], i, user_data);
+    values[2 * i] = r.re;
+    values[2 * i + 1] = r.im;
+  }
+  return store_interleaved(v, values);
+}
+
+ComplexResult map_aggregate_complex_impl(DspVec *v, bdsp_map_complex_fn map,
+                                         bdsp_agg_complex_fn aggregate,
+                                         const void *user_data) {
+  ComplexResult out{-1, 0.0, 0.0};
+  std::vector<double> values;
+  if (fetch_interleaved(v, &values) != 0) return out;
+  size_t pairs = values.size() / 2;
+  if (pairs == 0) {
+    out.result_code = 12; /* InputMustNotBeEmpty */
+    return out;
+  }
+  BdspComplex acc = map(values[0], values[1], 0, user_data);
+  for (size_t i = 1; i < pairs; ++i) {
+    BdspComplex m = map(values[2 * i], values[2 * i + 1], i, user_data);
+    acc = aggregate(acc, m, user_data);
+  }
+  out.real = acc.re;
+  out.imag = acc.im;
+  out.result_code = 0;
+  return out;
+}
+
+// Fills the handle's host cache with the interleaved values converted to
+// REAL, returning the raw pointer backing data/complex_data.
+template <typename REAL>
+const REAL *raw_data_impl(DspVec *v, std::vector<REAL> *cache) {
+  std::vector<double> values;
+  if (fetch_interleaved(v, &values) != 0) return nullptr;
+  cache->resize(values.size());
+  for (size_t i = 0; i < values.size(); ++i) (*cache)[i] = (REAL)values[i];
+  return cache->data();
+}
+
+int32_t pair_getter_impl(DspVec *v, const char *method, DspVec *a,
+                         DspVec *b) {
+  Gil gil;
+  PyObject *res = PyObject_CallMethod(v->obj, method, nullptr);
+  if (!res || !PyTuple_Check(res) || PyTuple_Size(res) != 2) {
+    record_py_error();
+    PyErr_Clear();
+    Py_XDECREF(res);
+    return -1;
+  }
+  PyObject *first = PyTuple_GetItem(res, 0);
+  PyObject *second = PyTuple_GetItem(res, 1);
+  Py_INCREF(first);
+  Py_INCREF(second);
+  Py_DECREF(a->obj);
+  a->obj = first;
+  Py_DECREF(b->obj);
+  b->obj = second;
+  Py_DECREF(res);
+  return 0;
+}
+
+PyObject *make_custom_complex(const void *fn, const void *user_data,
+                              int32_t is_symmetric) {
+  PyObject *args = Py_BuildValue("(KKi)", (unsigned long long)(uintptr_t)fn,
+                                 (unsigned long long)(uintptr_t)user_data,
+                                 is_symmetric);
+  PyObject *obj = support_call("make_foreign_complex_fn", args);
+  Py_DECREF(args);
+  return obj;
 }
 
 int32_t split_into_impl(DspVec *v, DspVec **targets, size_t n) {
@@ -1009,9 +1165,175 @@ const char *bdsp_last_error(void) { return g_last_error.c_str(); }
     return dispatch(a, METHOD, Py_BuildValue("(O)", b->obj));                  \
   }
 
+// Reference-parity tail: the facade32.rs/facade64.rs names added in round 2
+// (raw access, perf-option constructors, pair getters, complex callbacks,
+// by-id convolution spellings, precise/complex statistics splits).
+#define DEFINE_SURFACE_EXT(X, REAL, CACHE)                                     \
+  extern "C" {                                                                 \
+  const REAL *data##X(DspVec *v) { return raw_data_impl(v, &v->CACHE); }       \
+  const REAL *complex_data##X(DspVec *v) {                                     \
+    return raw_data_impl(v, &v->CACHE); /* interleaved re,im pairs */          \
+  }                                                                            \
+  size_t get_allocated_len##X(DspVec *v) {                                     \
+    return get_len##X(v); /* XLA owns buffers: allocated == len */             \
+  }                                                                            \
+  VectorResult overwrite_data##X(DspVec *v, const REAL *data, size_t len) {    \
+    std::vector<double> values(len);                                           \
+    for (size_t i = 0; i < len; ++i) values[i] = (double)data[i];              \
+    return store_interleaved(v, values);                                       \
+  }                                                                            \
+  VectorResult set_len##X(DspVec *v, size_t len) {                             \
+    size_t points = is_complex##X(v) ? len / 2 : len;                          \
+    Gil gil2;                                                                  \
+    return dispatch(v, "resize", Py_BuildValue("(n)", (Py_ssize_t)points));    \
+  }                                                                            \
+  DspVec *new_with_performance_options##X(int32_t is_complex, int32_t domain,  \
+                                          REAL init_value, size_t length,      \
+                                          REAL delta, size_t core_limit) {     \
+    (void)core_limit; /* XLA owns scheduling on TPU */                         \
+    return new##X(is_complex, domain, init_value, length, delta);              \
+  }                                                                            \
+  DspVec *new_with_detailed_performance_options##X(                            \
+      int32_t is_complex, int32_t domain, REAL init_value, size_t length,      \
+      REAL delta, size_t core_limit, size_t med_dual_core_threshold,           \
+      size_t med_multi_core_threshold, size_t large_dual_core_threshold,       \
+      size_t large_multi_core_threshold) {                                     \
+    (void)core_limit;                                                          \
+    (void)med_dual_core_threshold;                                             \
+    (void)med_multi_core_threshold;                                            \
+    (void)large_dual_core_threshold;                                           \
+    (void)large_multi_core_threshold;                                          \
+    return new##X(is_complex, domain, init_value, length, delta);              \
+  }                                                                            \
+  int32_t get_real_imag##X(DspVec *v, DspVec *re, DspVec *im) {                \
+    return pair_getter_impl(v, "get_real_imag", re, im);                       \
+  }                                                                            \
+  int32_t get_mag_phase##X(DspVec *v, DspVec *mag, DspVec *phase) {            \
+    return pair_getter_impl(v, "get_mag_phase", mag, phase);                   \
+  }                                                                            \
+  VectorResult complex_divide##X(DspVec *v, REAL re, REAL im) {                \
+    double d = (double)re * re + (double)im * im;                              \
+    Gil gil2;                                                                  \
+    return dispatch(                                                           \
+        v, "scale",                                                            \
+        Py_BuildValue("(O)", PyComplex_FromDoubles(re / d, -im / d)));         \
+  }                                                                            \
+  /* powf##X / expf##X aliases live in facade_aliases.cpp: glibc declares   \
+   * _FloatN functions with those names, so they need a math.h-free TU. */     \
+  VectorResult convolve##X(DspVec *v, int32_t function_id, REAL rolloff,       \
+                           REAL ratio, size_t length) {                        \
+    return convolve_real##X(v, function_id, rolloff, ratio, length);           \
+  }                                                                            \
+  VectorResult multiply_frequency_response##X(DspVec *v, int32_t function_id,  \
+                                              REAL rolloff, REAL ratio) {      \
+    return multiply_frequency_response_real##X(v, function_id, rolloff,        \
+                                               ratio);                         \
+  }                                                                            \
+  VectorResult add_vector##X(DspVec *a, DspVec *b) { return add##X(a, b); }    \
+  VectorResult sub_vector##X(DspVec *a, DspVec *b) { return sub##X(a, b); }    \
+  VectorResult mul_vector##X(DspVec *a, DspVec *b) { return mul##X(a, b); }    \
+  VectorResult div_vector##X(DspVec *a, DspVec *b) { return div##X(a, b); }    \
+  VectorResult add_smaller_vector##X(DspVec *a, DspVec *b) {                   \
+    return add_smaller##X(a, b);                                               \
+  }                                                                            \
+  VectorResult sub_smaller_vector##X(DspVec *a, DspVec *b) {                   \
+    return sub_smaller##X(a, b);                                               \
+  }                                                                            \
+  VectorResult mul_smaller_vector##X(DspVec *a, DspVec *b) {                   \
+    return mul_smaller##X(a, b);                                               \
+  }                                                                            \
+  VectorResult div_smaller_vector##X(DspVec *a, DspVec *b) {                   \
+    return div_smaller##X(a, b);                                               \
+  }                                                                            \
+  VectorResult prepare_argument##X(DspVec *v) {                                \
+    return dispatch(v, "prepare_argument", nullptr);                           \
+  }                                                                            \
+  int32_t complex_statistics_prec##X(DspVec *v, ComplexStatistics *out) {      \
+    return fill_complex_stats(v, out, "statistics_prec");                      \
+  }                                                                            \
+  int32_t complex_statistics_split##X(DspVec *v, size_t len,                   \
+                                      ComplexStatistics *out) {                \
+    return fill_split_stats_complex(v, len, out, "statistics_split");          \
+  }                                                                            \
+  int32_t complex_statistics_split_prec##X(DspVec *v, size_t len,              \
+                                           ComplexStatistics *out) {           \
+    return fill_split_stats_complex(v, len, out, "statistics_split_prec");     \
+  }                                                                            \
+  int32_t real_statistics_split_prec##X(DspVec *v, size_t len,                 \
+                                        RealStatistics *out) {                 \
+    return fill_split_stats(v, len, out, "statistics_split_prec");             \
+  }                                                                            \
+  VectorResult windowed_custom_sfft##X(DspVec *v, bdsp_window_fn fn,           \
+                                       const void *user_data,                  \
+                                       int32_t is_symmetric) {                 \
+    Gil gil2;                                                                  \
+    PyObject *w = make_custom("make_foreign_window", (const void *)fn,         \
+                              user_data, is_symmetric);                        \
+    if (!w) return VectorResult{-1, v};                                        \
+    return dispatch(v, "windowed_sfft", Py_BuildValue("(N)", w));              \
+  }                                                                            \
+  VectorResult windowed_custom_sifft##X(DspVec *v, bdsp_window_fn fn,          \
+                                        const void *user_data,                 \
+                                        int32_t is_symmetric) {                \
+    Gil gil2;                                                                  \
+    PyObject *w = make_custom("make_foreign_window", (const void *)fn,         \
+                              user_data, is_symmetric);                        \
+    if (!w) return VectorResult{-1, v};                                        \
+    return dispatch(v, "windowed_sifft", Py_BuildValue("(N)", w));             \
+  }                                                                            \
+  VectorResult map_inplace_complex##X(DspVec *v, bdsp_map_complex_fn fn,       \
+                                      const void *user_data) {                 \
+    if (!is_complex##X(v)) return VectorResult{3, v};                          \
+    return map_inplace_complex_impl(v, fn, user_data);                         \
+  }                                                                            \
+  ComplexResult map_aggregate_complex##X(DspVec *v, bdsp_map_complex_fn map,   \
+                                         bdsp_agg_complex_fn aggregate,        \
+                                         const void *user_data) {              \
+    if (!is_complex##X(v)) return ComplexResult{3, 0.0, 0.0};                  \
+    return map_aggregate_complex_impl(v, map, aggregate, user_data);           \
+  }                                                                            \
+  VectorResult convolve_complex##X(DspVec *v, bdsp_conv_complex_fn fn,         \
+                                   const void *user_data,                      \
+                                   int32_t is_symmetric, REAL ratio,           \
+                                   size_t length) {                            \
+    Gil gil2;                                                                  \
+    PyObject *f = make_custom_complex((const void *)fn, user_data,             \
+                                      is_symmetric);                           \
+    if (!f) return VectorResult{-1, v};                                        \
+    return dispatch(v, "convolve",                                             \
+                    Py_BuildValue("(Ndn)", f, (double)ratio,                   \
+                                  (Py_ssize_t)length));                        \
+  }                                                                            \
+  VectorResult multiply_frequency_response_complex##X(                         \
+      DspVec *v, bdsp_conv_complex_fn fn, const void *user_data,               \
+      int32_t is_symmetric, REAL ratio) {                                      \
+    Gil gil2;                                                                  \
+    PyObject *f = make_custom_complex((const void *)fn, user_data,             \
+                                      is_symmetric);                           \
+    if (!f) return VectorResult{-1, v};                                        \
+    return dispatch(v, "multiply_frequency_response",                          \
+                    Py_BuildValue("(Nd)", f, (double)ratio));                  \
+  }                                                                            \
+  VectorResult interpolate_custom##X(DspVec *v, bdsp_conv_fn fn,               \
+                                     const void *user_data,                    \
+                                     int32_t is_symmetric,                     \
+                                     size_t dest_points, REAL delay) {         \
+    Gil gil2;                                                                  \
+    PyObject *f = make_custom("make_foreign_real_fn", (const void *)fn,        \
+                              user_data, is_symmetric);                        \
+    if (!f) return VectorResult{-1, v};                                        \
+    return dispatch(v, "interpolate",                                          \
+                    Py_BuildValue("(Nnd)", f, (Py_ssize_t)dest_points,         \
+                                  (double)delay));                             \
+  }                                                                            \
+  }  // extern "C"
+
 #define REAL float
 DEFINE_SURFACE(32, float, 0)
 #undef REAL
 #define REAL double
 DEFINE_SURFACE(64, double, 1)
 #undef REAL
+
+DEFINE_SURFACE_EXT(32, float, cache_f)
+DEFINE_SURFACE_EXT(64, double, cache_d)
