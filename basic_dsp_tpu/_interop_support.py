@@ -142,12 +142,12 @@ class _ForeignWindow(windows.WindowFunction):
         self._data = data_ptr
 
     def window(self, n, length):
-        import jax.numpy as jnp
+        # Returns numpy: sampled host-side, enters traces as a constant.
         n_arr = np.atleast_1d(np.asarray(n))
         points = int(np.asarray(length))
         vals = np.array([self._cb(self._data, int(v), points)
                          for v in n_arr], dtype=np.float64)
-        return jnp.asarray(vals.reshape(np.shape(n)))
+        return vals.reshape(np.shape(n))
 
 
 class _ForeignRealFunction(conv_types.RealImpulseResponse,
@@ -172,11 +172,11 @@ class _ForeignRealFunction(conv_types.RealImpulseResponse,
         self._data = data_ptr
 
     def _eval(self, x):
-        import jax.numpy as jnp
+        # Returns numpy: sampled host-side, enters traces as a constant.
         arr = np.asarray(x, dtype=np.float64)
         vals = np.array([self._cb(self._data, float(v))
                          for v in arr.ravel()], dtype=np.float64)
-        return jnp.asarray(vals.reshape(arr.shape))
+        return vals.reshape(arr.shape)
 
     def calc(self, x):
         return self._eval(x)
@@ -209,13 +209,13 @@ class _ForeignComplexFunction(conv_types.ComplexImpulseResponse,
         self._data = data_ptr
 
     def _eval(self, x):
-        import jax.numpy as jnp
+        # Returns numpy: sampled host-side, enters traces as a constant.
         arr = np.asarray(x, dtype=np.float64)
         vals = np.empty(arr.size, dtype=np.complex128)
         for i, v in enumerate(arr.ravel()):
             r = self._cb(self._data, float(v))
             vals[i] = complex(r.re, r.im)
-        return jnp.asarray(vals.reshape(arr.shape))
+        return vals.reshape(arr.shape)
 
     def calc(self, x):
         return self._eval(x)

@@ -126,9 +126,12 @@ def is_complex_repr(x) -> bool:
 
 
 @functools.lru_cache(maxsize=1024)
-def _compiled(fn, mode: bool, static, _epoch: int):
+def _compiled(fn, mode: bool, static, _epoch: int, _salt: int = 0):
     """_epoch folds config.precision_epoch() into the cache key so that
-    set_matmul_precision() immediately invalidates traced programs."""
+    set_matmul_precision() immediately invalidates traced programs.
+    _salt forces a fresh trace for host-callback (``_no_jit``) statics —
+    their sampled values are baked into the jaxpr as constants, so a cache
+    hit would silently reuse a previous call's samples."""
     @jax.jit
     def g(*arrays):
         args = [unwrap(a) for a in arrays]
@@ -138,11 +141,19 @@ def _compiled(fn, mode: bool, static, _epoch: int):
     return g
 
 
+_nojit_salt = 0
+
+
 def call(fn, *arrays, static=()):
     """Runs ``fn(*arrays, *static)`` under a cached jit with planar
     pack/unpack at the program boundary.  ``static`` entries are baked into
     the trace (must be hashable); ``arrays`` may be jnp arrays, Python
-    scalars, or PlanarComplex."""
+    scalars, or PlanarComplex.
+
+    Host-callback statics (marked ``_no_jit``) are legal here because every
+    argument they are sampled at is arange-derived and therefore concrete
+    during tracing; each call retraces (see ``_salt``) so callbacks are
+    re-sampled like the reference's per-call FFI evaluation."""
     mode = planar_mode()
     if mode:
         # Complex scalars must not become complex program inputs either.
@@ -151,8 +162,17 @@ def call(fn, *arrays, static=()):
             if isinstance(a, complex) else a
             for a in arrays)
     from . import config
+    salt = 0
+    # _no_jit may sit on the object itself or (for bound-method statics
+    # like fun.calc_freq) on the method's instance.
+    if any(getattr(s, "_no_jit", False)
+           or getattr(getattr(s, "__self__", None), "_no_jit", False)
+           for s in static):
+        global _nojit_salt
+        _nojit_salt += 1
+        salt = _nojit_salt
     return _compiled(fn, mode, tuple(static),
-                     config.precision_epoch())(*arrays)
+                     config.precision_epoch(), salt)(*arrays)
 
 
 def to_host(x) -> np.ndarray:

@@ -50,7 +50,11 @@ _default_config = DspConfig()
 # the reference's ``*_approx`` fast-math family
 # (simd_extensions/approximations.rs).  The epoch invalidates cached jit
 # programs (see _planar.call) so the dial takes effect immediately.
-_matmul_precision = "highest"
+import os as _os
+
+_matmul_precision = _os.environ.get("BDSP_MATMUL_PRECISION", "highest")
+if _matmul_precision not in ("highest", "high", "default"):
+    _matmul_precision = "highest"
 _precision_epoch = 0
 
 

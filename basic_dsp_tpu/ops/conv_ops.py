@@ -293,8 +293,17 @@ def convolve_function(x: jnp.ndarray, fun, ratio: float, conv_len: int,
     """
     n = x.shape[-1]
     L = min(conv_len, n)
-    s = jnp.arange(-L, L + 1, dtype=jnp.result_type(x.real.dtype, jnp.float32))
-    taps = fun.calc(s * ratio)
+    if getattr(fun, "_no_jit", False):
+        # Host callback: sample at host-built (numpy) points — jnp builders
+        # would hand it tracers.  The sampled taps enter the trace as
+        # constants; _planar.call salts the jit cache per call so the
+        # callback is re-evaluated like the reference's FFI path.
+        s = np.arange(-L, L + 1, dtype=np.float64)
+        taps = jnp.asarray(fun.calc(s * ratio))
+    else:
+        s = jnp.arange(-L, L + 1,
+                       dtype=jnp.result_type(x.real.dtype, jnp.float32))
+        taps = fun.calc(s * ratio)
     if is_complex:
         taps = taps.astype(jnp.result_type(taps, jnp.complex64))
     if 2 * L + 1 <= n:
@@ -340,16 +349,28 @@ def multiply_function(data: jnp.ndarray, fun_calc, ratio: float,
     interpolation.rs:653-678).
     """
     p = data.shape[-1]
-    rdtype = jnp.zeros((), data.dtype).real.dtype
+    no_jit = getattr(getattr(fun_calc, "__self__", None), "_no_jit", False)
     offset = p % 2
     half = (p - offset) / 2.0
-    i = jnp.arange(p, dtype=rdtype)
-    if is_symmetric:
-        j = -jnp.abs(i - p // 2)
+    if no_jit:
+        # Host callback: sample points built on host (see convolve_function).
+        i = np.arange(p, dtype=np.float64)
+        j = -np.abs(i - p // 2) if is_symmetric else i - half
+        if is_fft_shifted:
+            xs = np.where(j <= 0, 1.0 + j / half, -((half - j + 1.0) / half))
+        else:
+            xs = j / half
+        resp = jnp.asarray(fun_calc(xs * ratio))
     else:
-        j = i - half
-    x = fft_swap_x(is_fft_shifted, j, jnp.asarray(half, dtype=rdtype)) * ratio
-    resp = fun_calc(x)
+        rdtype = jnp.zeros((), data.dtype).real.dtype
+        i = jnp.arange(p, dtype=rdtype)
+        if is_symmetric:
+            j = -jnp.abs(i - p // 2)
+        else:
+            j = i - half
+        x = fft_swap_x(is_fft_shifted, j,
+                       jnp.asarray(half, dtype=rdtype)) * ratio
+        resp = fun_calc(x)
     return data * (ratio * resp).astype(data.dtype)
 
 

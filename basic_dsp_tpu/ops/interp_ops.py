@@ -72,17 +72,20 @@ def _interpolatef_gather(x, fun, factor, delay, L, new_points):
     """General fractional-factor path: windows gathered per output sample.
     Exact realization of the reference's scalar loop."""
     n = x.shape[-1]
-    rdtype = jnp.zeros((), x.dtype).real.dtype
-    i = jnp.arange(new_points, dtype=rdtype)
+    # Host callbacks (_no_jit) sample at host-built numpy points; jnp
+    # builders would hand them tracers (see conv_ops.convolve_function).
+    xp = np if getattr(fun, "_no_jit", False) else jnp
+    rdtype = np.float64 if xp is np else jnp.zeros((), x.dtype).real.dtype
+    i = xp.arange(new_points, dtype=rdtype)
     center = i / factor
-    rounded = jnp.floor(center)
+    rounded = xp.floor(center)
     frac = center - rounded
-    t = jnp.arange(2 * L + 1, dtype=rdtype)
+    t = xp.arange(2 * L + 1, dtype=rdtype)
     # Tap argument: t - L - frac + delay  (shape: new_points x (2L+1))
     args = t[None, :] - L - frac[:, None] + delay
-    w = fun.calc(args)
-    idx = (rounded.astype(jnp.int32)[:, None]
-           + (jnp.arange(2 * L + 1, dtype=jnp.int32) - L)[None, :]) % n
+    w = jnp.asarray(fun.calc(args))
+    idx = (rounded.astype(xp.int32)[:, None]
+           + (xp.arange(2 * L + 1, dtype=xp.int32) - L)[None, :]) % n
     windows = x[..., idx]
     w = w.astype(windows.dtype)
     return jnp.sum(windows * w, axis=-1)
@@ -111,10 +114,12 @@ def _interpolatef_integer_spectral(x, fun, factor, delay, L):
     no gathers (TPU gathers are slow).
     """
     n = x.shape[-1]
-    rdtype = jnp.zeros((), x.dtype).real.dtype
-    s = jnp.arange(-L, L + 1, dtype=rdtype)
-    p = jnp.arange(factor, dtype=rdtype)
-    taps = fun.calc(s[None, :] - p[:, None] / factor + delay)  # (F, 2L+1)
+    xp = np if getattr(fun, "_no_jit", False) else jnp
+    rdtype = np.float64 if xp is np else jnp.zeros((), x.dtype).real.dtype
+    s = xp.arange(-L, L + 1, dtype=rdtype)
+    p = xp.arange(factor, dtype=rdtype)
+    taps = jnp.asarray(
+        fun.calc(s[None, :] - p[:, None] / factor + delay))  # (F, 2L+1)
     corr = _phase_correlations(x, taps)        # (..., F, n)
     # Phase interleave via the MXU mux (Q=1, no decimation): a plain
     # stack(-1).reshape interleave relayouts through a minor dim of F and
@@ -138,13 +143,15 @@ def _interpolatef_rational_spectral(x, fun, P, Q, delay, L):
     scalar formula.  Requires Q | n.
     """
     n = x.shape[-1]
-    rdtype = jnp.zeros((), x.dtype).real.dtype
-    s = jnp.arange(-L, L + 1, dtype=rdtype)
+    xp = np if getattr(fun, "_no_jit", False) else jnp
+    rdtype = np.float64 if xp is np else jnp.zeros((), x.dtype).real.dtype
+    s = xp.arange(-L, L + 1, dtype=rdtype)
     p = np.arange(P)
     fracs = ((p * Q) % P) / P
     offs = (p * Q) // P
-    taps = fun.calc(s[None, :] - jnp.asarray(fracs, dtype=rdtype)[:, None]
-                    + delay)                                  # (P, 2L+1)
+    taps = jnp.asarray(
+        fun.calc(s[None, :] - xp.asarray(fracs, dtype=rdtype)[:, None]
+                 + delay))                                    # (P, 2L+1)
     corr = _phase_correlations(x, taps)        # (..., P, n)
     k_count = n // Q
     # out[k*P + p] = corr_p[k*Q + offs[p]]: fused interleave + stride-Q

@@ -70,23 +70,35 @@ def _as_stats(sum_, count, average, rms, min_, min_idx, max_, max_idx):
                       max_index=int(max_idx))
 
 
+def _minmax_keys(key: jnp.ndarray):
+    """NaN-skipping min/max keys, pinned to the reference's strict-compare
+    update (statistics.rs:250-263: ``elem > max`` / ``elem < min`` are false
+    for NaN, so NaN never becomes min/max — only sum/rms get poisoned).
+    All-NaN input leaves min=+inf / max=-inf at index 0, exactly like the
+    reference's untouched ``Stats::empty`` fields."""
+    nan = jnp.isnan(key)
+    inf = jnp.array(jnp.inf, dtype=key.dtype)
+    return jnp.where(nan, inf, key), jnp.where(nan, -inf, key)
+
+
 def _real_stats_arrays(x: jnp.ndarray):
     n = x.shape[-1]
     s = jnp.sum(x, axis=-1)
     sq = jnp.sum(x * x, axis=-1)
-    mn_i = jnp.argmin(x, axis=-1)
-    mx_i = jnp.argmax(x, axis=-1)
+    kmin, kmax = _minmax_keys(x)
+    mn_i = jnp.argmin(kmin, axis=-1)
+    mx_i = jnp.argmax(kmax, axis=-1)
     return (s, s / n, jnp.sqrt(sq / n),
-            jnp.min(x, axis=-1), mn_i, jnp.max(x, axis=-1), mx_i)
+            jnp.min(kmin, axis=-1), mn_i, jnp.max(kmax, axis=-1), mx_i)
 
 
 def _complex_stats_arrays(x: jnp.ndarray):
     n = x.shape[-1]
     s = jnp.sum(x, axis=-1)
     sq = jnp.sum(x * x, axis=-1)
-    norms = jnp.abs(x)
-    mn_i = jnp.argmin(norms, axis=-1)
-    mx_i = jnp.argmax(norms, axis=-1)
+    kmin, kmax = _minmax_keys(jnp.abs(x))
+    mn_i = jnp.argmin(kmin, axis=-1)
+    mx_i = jnp.argmax(kmax, axis=-1)
     return (s, s / n, jnp.sqrt(sq / n),
             jnp.take_along_axis(x, mn_i[..., None], axis=-1)[..., 0], mn_i,
             jnp.take_along_axis(x, mx_i[..., None], axis=-1)[..., 0], mx_i)

@@ -133,6 +133,8 @@ def sharded_statistics(x: jnp.ndarray, mesh: Mesh,
         is_complex = bool(jnp.iscomplexobj(x))
     n = x.shape[-1]
     d = mesh.devices.size
+    if n % d != 0:
+        raise ValueError(f"signal length {n} not divisible by mesh size {d}")
     ln = n // d
 
     def body(xs):
@@ -140,11 +142,16 @@ def sharded_statistics(x: jnp.ndarray, mesh: Mesh,
         base = i * ln
         s = jax.lax.psum(jnp.sum(xs), axis_name)
         sq = jax.lax.psum(jnp.sum(xs * xs), axis_name)
-        key = jnp.abs(xs) if is_complex else xs
-        lmin = jnp.min(key)
-        lmax = jnp.max(key)
-        lmin_i = base + jnp.argmin(key)
-        lmax_i = base + jnp.argmax(key)
+        # NaN-skipping keys (reference strict-compare update semantics —
+        # see stats_ops._minmax_keys); also keeps the owner-selection
+        # below well-defined: NaN keys would make every equality test
+        # false and no shard would publish the extremum.
+        kmin, kmax = stats_ops._minmax_keys(
+            jnp.abs(xs) if is_complex else xs)
+        lmin = jnp.min(kmin)
+        lmax = jnp.max(kmax)
+        lmin_i = base + jnp.argmin(kmin)
+        lmax_i = base + jnp.argmax(kmax)
         gmin = jax.lax.pmin(lmin, axis_name)
         gmax = jax.lax.pmax(lmax, axis_name)
         # The owner of the global extremum publishes value+index; others
@@ -158,10 +165,17 @@ def sharded_statistics(x: jnp.ndarray, mesh: Mesh,
             jnp.where(is_max_owner, i, d), axis_name)
         sel_min = (i == min_owner_rank)
         sel_max = (i == max_owner_rank)
-        min_val = jax.lax.psum(jnp.where(sel_min, xs[jnp.argmin(key)], 0),
-                               axis_name)
-        max_val = jax.lax.psum(jnp.where(sel_max, xs[jnp.argmax(key)], 0),
-                               axis_name)
+        if is_complex:
+            min_val = jax.lax.psum(
+                jnp.where(sel_min, xs[jnp.argmin(kmin)], 0), axis_name)
+            max_val = jax.lax.psum(
+                jnp.where(sel_max, xs[jnp.argmax(kmax)], 0), axis_name)
+        else:
+            # Real extrema equal their keys; publishing the key (not
+            # xs[argmin]) keeps the all-NaN case at +-inf like the
+            # single-chip path.
+            min_val = jax.lax.psum(jnp.where(sel_min, lmin, 0), axis_name)
+            max_val = jax.lax.psum(jnp.where(sel_max, lmax, 0), axis_name)
         min_idx = jax.lax.psum(jnp.where(sel_min, lmin_i, 0), axis_name)
         max_idx = jax.lax.psum(jnp.where(sel_max, lmax_i, 0), axis_name)
         return s, sq, min_val, min_idx, max_val, max_idx

@@ -181,8 +181,8 @@ def _window_div(x, w):
     return x / w.astype(x.dtype)
 
 
-def _dc_imag(x):
-    return jnp.imag(x[..., 0])
+def _dc_parts(x):
+    return jnp.stack([jnp.imag(x[..., 0]), jnp.real(x[..., 0])])
 
 
 def _sifft_core(x):
@@ -323,6 +323,13 @@ class DspVector:
         """Length in float elements, like the reference's ``len()``
         (2x points for complex vectors)."""
         return self.points() * (2 if self.is_complex() else 1)
+
+    def __bool__(self) -> bool:
+        """Vectors are always truthy.  Without this, an *erroneous* Gen
+        vector (len 0) is falsy and guard chains like
+        ``self._check(...) or self._check(...)`` silently drop the invalid
+        result, letting wrong-flavor ops execute."""
+        return True
 
     def is_erroneous(self) -> bool:
         """Reference vector_types/mod.rs:209-216."""
@@ -915,6 +922,21 @@ class DspVector:
     def windowed_ifft(self, window: WindowFunction) -> "DspVector":
         return self.ifft().unapply_window(window)
 
+    def _dc_imag_too_large(self) -> bool:
+        """Conj-symmetry gate for plain_sifft (freq_to_time.rs:205-213).
+
+        The reference's absolute 1e-10 threshold is kept for the f64
+        flavors, but it is below f32 resolution whenever the DC bin is
+        computed by a non-exact FFT (e.g. Bluestein at non-smooth lengths
+        such as 4097 = 17*241), so the f32 flavors use an eps-grade
+        threshold relative to the DC magnitude instead.
+        """
+        parts = np.asarray(_planar.call(_dc_parts, self._data))
+        imag, real = abs(float(parts[0])), abs(float(parts[1]))
+        if np.dtype(_planar.real_dtype_of(self._data)) == np.float64:
+            return imag > 1e-10
+        return imag > 1e-5 * (1.0 + real)
+
     def plain_sifft(self) -> "DspVector":
         """Symmetric inverse FFT: half spectrum -> real time signal
         (reference freq_to_time.rs:190-221)."""
@@ -923,8 +945,7 @@ class DspVector:
         if bad is not None:
             return bad._retag(NumberSpace.REAL, DataDomain.TIME) \
                 if bad._is_gen() else bad
-        if self.points() > 0 and abs(float(
-                _planar.call(_dc_imag, self._data))) > 1e-10:
+        if self.points() > 0 and self._dc_imag_too_large():
             return self._invalid(ErrorReason.INPUT_MUST_BE_CONJ_SYMMETRIC,
                                  domain=DataDomain.TIME,
                                  space=NumberSpace.REAL)
@@ -959,9 +980,21 @@ class DspVector:
         return self._map(fft_ops.mirror)
 
     def fft_shift(self) -> "DspVector":
+        """Swap halves after an FFT.  Like every FrequencyDomainOperations
+        member this requires a complex frequency vector (freq.rs:7-15:
+        trait bound N: ComplexNumberSpace, D: FrequencyDomain; Gen misuse
+        sets len 0).  ``swap_halves`` is the unconstrained variant."""
+        bad = (self._check(domain=DataDomain.FREQUENCY)
+               or self._check(complex_=True))
+        if bad is not None:
+            return bad
         return self._map(fft_ops.fft_shift)
 
     def ifft_shift(self) -> "DspVector":
+        bad = (self._check(domain=DataDomain.FREQUENCY)
+               or self._check(complex_=True))
+        if bad is not None:
+            return bad
         return self._map(fft_ops.ifft_shift)
 
     def apply_window(self, window: WindowFunction) -> "DspVector":
@@ -1017,14 +1050,12 @@ class DspVector:
         from .conv_types import ComplexImpulseResponse
         if isinstance(function, ComplexImpulseResponse) and not self.is_complex():
             return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
-        if getattr(function, "_no_jit", False):
-            out = conv_ops.convolve_function(self._data, function,
-                                             float(ratio), int(length),
-                                             self.is_complex())
-        else:
-            out = _jit_static(conv_ops.convolve_function, function,
-                              float(ratio), int(length),
-                              self.is_complex())(self._data)
+        # Host-callback (_no_jit) functions also go through the funnel:
+        # their sample points are arange-derived, hence concrete during
+        # tracing; _planar.call salts the cache so they re-sample per call.
+        out = _jit_static(conv_ops.convolve_function, function,
+                          float(ratio), int(length),
+                          self.is_complex())(self._data)
         if jnp.iscomplexobj(out) and not self.is_complex():
             out = jnp.real(out).astype(self._data.dtype)
         return self._make(out)
@@ -1041,14 +1072,9 @@ class DspVector:
                 and not self.is_complex()):
             return self._invalid(ErrorReason.INPUT_MUST_BE_COMPLEX)
         calc = frequency_response.calc_freq
-        if getattr(frequency_response, "_no_jit", False):
-            out = conv_ops.multiply_function(
-                self._data, calc, float(ratio), False,
-                frequency_response.is_symmetric)
-        else:
-            out = _jit_static(conv_ops.multiply_function, calc, float(ratio),
-                              False,
-                              frequency_response.is_symmetric)(self._data)
+        out = _jit_static(conv_ops.multiply_function, calc, float(ratio),
+                          False,
+                          frequency_response.is_symmetric)(self._data)
         return self._make(out)
 
     def prepare_argument(self, padded: bool = False) -> "DspVector":
@@ -1082,29 +1108,18 @@ class DspVector:
     # ------------------------------------------------------------------
     def interpolatef(self, function, interpolation_factor: float,
                      delay: float, conv_len: int) -> "DspVector":
-        if getattr(function, "_no_jit", False):
-            out = interp_ops.interpolatef(self._data, function,
-                                          float(interpolation_factor),
-                                          float(delay), int(conv_len),
-                                          self._delta)
-        else:
-            out = _jit_static(interp_ops.interpolatef, function,
-                              float(interpolation_factor), float(delay),
-                              int(conv_len), self._delta)(self._data)
+        out = _jit_static(interp_ops.interpolatef, function,
+                          float(interpolation_factor), float(delay),
+                          int(conv_len), self._delta)(self._data)
         return self._make(out)
 
     def interpolatei(self, function, interpolation_factor: int) -> "DspVector":
         if not function.is_symmetric and not self.is_complex():
             return self._invalid(
                 ErrorReason.ARGUMENT_FUNCTION_MUST_BE_SYMMETRIC)
-        if getattr(function, "_no_jit", False):
-            out = interp_ops.interpolatei(self._data, function,
-                                          int(interpolation_factor),
-                                          self.is_complex())
-        else:
-            out = _jit_static(interp_ops.interpolatei, function,
-                              int(interpolation_factor),
-                              self.is_complex())(self._data)
+        out = _jit_static(interp_ops.interpolatei, function,
+                          int(interpolation_factor),
+                          self.is_complex())(self._data)
         return self._make(out)
 
     def interpolate(self, function, target_points: int,
@@ -1114,14 +1129,9 @@ class DspVector:
             return self._invalid(
                 ErrorReason.ARGUMENT_FUNCTION_MUST_BE_SYMMETRIC)
         factor = target_points / self.points()
-        if function is not None and getattr(function, "_no_jit", False):
-            out = interp_ops.interpolate(self._data, function,
-                                         int(target_points), float(delay),
-                                         self._delta, self.is_complex())
-        else:
-            out = _jit_static(interp_ops.interpolate, function,
-                              int(target_points), float(delay), self._delta,
-                              self.is_complex())(self._data)
+        out = _jit_static(interp_ops.interpolate, function,
+                          int(target_points), float(delay), self._delta,
+                          self.is_complex())(self._data)
         return self._make(out, delta=self._delta / factor)
 
     def interpft(self, target_points: int) -> "DspVector":

@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 import basic_dsp_tpu as bd
-from tools import assert_vector_eq, create_complex_data, create_data
+from tools import (assert_vector_eq, create_complex_data, create_data,
+                   scaled_tol)
 
 
 def test_add_sub_mul_div():
@@ -155,9 +156,9 @@ def test_statistics_real():
     data = create_data(1, 1000)
     stats = bd.to_real_time_vec(data).statistics()
     assert stats.count == 1000
-    assert abs(stats.sum - data.sum()) < 1e-6
-    assert abs(stats.average - data.mean()) < 1e-9
-    assert abs(stats.rms - np.sqrt((data ** 2).mean())) < 1e-9
+    assert abs(stats.sum - data.sum()) < scaled_tol(1e-6)
+    assert abs(stats.average - data.mean()) < scaled_tol(1e-9)
+    assert abs(stats.rms - np.sqrt((data ** 2).mean())) < scaled_tol(1e-9)
     assert stats.min == data.min() and stats.min_index == data.argmin()
     assert stats.max == data.max() and stats.max_index == data.argmax()
 
@@ -305,8 +306,8 @@ def test_merge_stats_and_cols():
     merged = bd.merge_stats(parts)
     full = bd.to_real_time_vec(data).statistics()
     assert merged.count == 1000
-    assert abs(merged.sum - full.sum) < 1e-9
-    assert abs(merged.rms - full.rms) < 1e-9
+    assert abs(merged.sum - full.sum) < scaled_tol(1e-9)
+    assert abs(merged.rms - full.rms) < scaled_tol(1e-9)
     assert merged.min == full.min and merged.min_index == full.min_index
     # Column-wise merge for split statistics.
     s1 = bd.to_real_time_vec(data[:300]).statistics_split(3)

@@ -68,15 +68,33 @@ def test_swap_halves_real_odd():
 
 
 def test_fft_shift_odd_forward():
-    v = bd.to_real_freq_vec(np.arange(1.0, 10.0))
+    """Odd-length rotation semantics (vector_types/mod.rs:689-713, matches
+    GNU Octave).  fft_shift requires a complex frequency vector (freq.rs
+    trait bound); swap_halves is the any-flavor variant with the same
+    forward rotation (data_reorganization.rs)."""
+    v = bd.to_complex_freq_vec(np.arange(1.0, 10.0) + 0j)
     assert_vector_eq(v.fft_shift().array,
+                     np.array([6.0, 7.0, 8.0, 9.0, 1.0, 2.0, 3.0, 4.0, 5.0])
+                     + 0j, tol=0)
+    r = bd.to_real_freq_vec(np.arange(1.0, 10.0))
+    assert_vector_eq(r.swap_halves().array,
                      [6.0, 7.0, 8.0, 9.0, 1.0, 2.0, 3.0, 4.0, 5.0], tol=0)
 
 
 def test_ifft_shift_odd():
-    v = bd.to_real_freq_vec(np.arange(1.0, 10.0))
+    v = bd.to_complex_freq_vec(np.arange(1.0, 10.0) + 0j)
     assert_vector_eq(v.ifft_shift().array,
-                     [5.0, 6.0, 7.0, 8.0, 9.0, 1.0, 2.0, 3.0, 4.0], tol=0)
+                     np.array([5.0, 6.0, 7.0, 8.0, 9.0, 1.0, 2.0, 3.0, 4.0])
+                     + 0j, tol=0)
+
+
+def test_fft_shift_real_vector_raises():
+    """Typed real vectors lack FrequencyDomainOperations (freq.rs:42-51:
+    N: ComplexNumberSpace) — the Python analog raises."""
+    import pytest as _pytest
+    from basic_dsp_tpu.errors import DspError
+    with _pytest.raises(DspError):
+        bd.to_real_freq_vec(np.arange(4.0)).fft_shift()
 
 
 @pytest.mark.parametrize("n", [64, 100, 101, 10000])

@@ -12,7 +12,8 @@ from basic_dsp_tpu.ops import conv_ops
 from basic_dsp_tpu.parallel import (channelizer, sharded_convolve_signal,
                                     sharded_statistics, sharded_sum,
                                     shard_time_axis)
-from tools import assert_vector_eq, create_complex_data, create_data
+from tools import (assert_vector_eq, create_complex_data, create_data,
+                   scaled_tol)
 
 
 @pytest.fixture(scope="module")
@@ -51,11 +52,11 @@ def test_sharded_convolve_real(mesh):
 def test_sharded_sum_and_statistics(mesh):
     data = create_data(3, 4096)
     x = shard_time_axis(jnp.asarray(data), mesh)
-    assert abs(sharded_sum(x, mesh).item() - data.sum()) < 1e-6
+    assert abs(sharded_sum(x, mesh).item() - data.sum()) < scaled_tol(1e-6)
     stats = sharded_statistics(x, mesh)
     ref = bd.to_real_time_vec(data).statistics()
-    assert abs(stats.sum - ref.sum) < 1e-6
-    assert abs(stats.rms - ref.rms) < 1e-9
+    assert abs(stats.sum - ref.sum) < scaled_tol(1e-6)
+    assert abs(stats.rms - ref.rms) < scaled_tol(1e-9)
     assert stats.min == ref.min and stats.min_index == ref.min_index
     assert stats.max == ref.max and stats.max_index == ref.max_index
     assert stats.count == ref.count
@@ -66,7 +67,7 @@ def test_sharded_statistics_complex(mesh):
     x = shard_time_axis(jnp.asarray(data), mesh)
     stats = sharded_statistics(x, mesh)
     ref = bd.to_complex_time_vec(data).statistics()
-    assert abs(stats.sum - ref.sum) < 1e-6
+    assert abs(stats.sum - ref.sum) < scaled_tol(1e-6)
     assert stats.min == ref.min and stats.max == ref.max
 
 
@@ -152,10 +153,10 @@ def test_four_step_fft_matches_jnp():
         got = np.asarray(sf.four_step_fft(jnp.asarray(x)))
         exp = np.fft.fft(x)
         scale = np.abs(exp).max()
-        assert np.max(np.abs(got - exp)) / scale < 1e-10, n
+        assert np.max(np.abs(got - exp)) / scale < scaled_tol(1e-10), n
         gi = np.asarray(sf.four_step_ifft(jnp.asarray(x)))
         ei = np.fft.ifft(x) * n
-        assert np.max(np.abs(gi - ei)) / np.abs(ei).max() < 1e-10, n
+        assert np.max(np.abs(gi - ei)) / np.abs(ei).max() < scaled_tol(1e-10), n
 
 
 def test_sharded_fft_matches_single(mesh):
@@ -165,4 +166,4 @@ def test_sharded_fft_matches_single(mesh):
     xs = shard_time_axis(jnp.asarray(x), mesh)
     got = np.asarray(sf.sharded_fft(xs, mesh))
     exp = np.fft.fft(x)
-    assert np.max(np.abs(got - exp)) / np.abs(exp).max() < 1e-10
+    assert np.max(np.abs(got - exp)) / np.abs(exp).max() < scaled_tol(1e-10)

@@ -122,12 +122,16 @@ def test_matmul_precision_dial_invalidates_programs():
     rng = np.random.default_rng(31)
     x = (rng.normal(size=2048) + 1j * rng.normal(size=2048)).astype(np.complex64)
     h = (rng.normal(size=31)).astype(np.float32)
+    start = config.matmul_precision()
+    # Switch to a tier DIFFERENT from the starting one (the matrix runner
+    # may have set BDSP_MATMUL_PRECISION=high as the initial dial).
+    other = "high" if start != "high" else "default"
     try:
         v = bd.to_complex_time_vec(x)
         hv = bd.to_real_time_vec(h)
         base = v.convolve_signal(hv.to_complex()).to_numpy()
         before = _planar._compiled.cache_info()
-        config.set_matmul_precision("high")
+        config.set_matmul_precision(other)
         relaxed = v.convolve_signal(hv.to_complex()).to_numpy()
         after = _planar._compiled.cache_info()
         assert after.misses > before.misses, "precision change must retrace"
@@ -138,4 +142,4 @@ def test_matmul_precision_dial_invalidates_programs():
         with pytest.raises(ValueError):
             config.set_matmul_precision("fast")
     finally:
-        config.set_matmul_precision("highest")
+        config.set_matmul_precision(start)

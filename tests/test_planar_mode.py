@@ -6,7 +6,8 @@ import pytest
 
 import basic_dsp_tpu as bd
 from basic_dsp_tpu import _planar
-from tools import assert_vector_eq, create_complex_data, create_data
+from tools import (TOL_SCALE, assert_vector_eq, create_complex_data,
+                   create_data, scaled_tol)
 
 
 @pytest.fixture(autouse=True)
@@ -79,11 +80,11 @@ def test_statistics_planar():
     s = v.statistics()
     norms = np.abs(data)
     assert s.count == 100
-    assert abs(s.sum - data.sum()) < 1e-9
+    assert abs(s.sum - data.sum()) < scaled_tol(1e-9)
     assert s.min_index == norms.argmin()
-    assert abs(v.sum_prec() - data.sum()) < 1e-9
+    assert abs(v.sum_prec() - data.sum()) < scaled_tol(1e-9)
     split = v.statistics_split(4)
-    assert abs(split[1].sum - data[1::4].sum()) < 1e-9
+    assert abs(split[1].sum - data[1::4].sum()) < scaled_tol(1e-9)
 
 
 def test_correlation_planar():
@@ -109,7 +110,8 @@ def test_matrix_planar():
     expected = np.abs(np.fft.fftshift(np.fft.fft(data, axis=-1), axes=-1))
     assert_vector_eq(mag.to_numpy(), expected, tol=1e-6 * expected.max())
     sums = mat.sum()
-    np.testing.assert_allclose(np.asarray(sums), data.sum(axis=-1))
+    np.testing.assert_allclose(np.asarray(sums), data.sum(axis=-1),
+                               rtol=1e-7 * TOL_SCALE)
 
 
 def test_mixed_mode_interop():

@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 import basic_dsp_tpu as bd
-from tools import assert_vector_eq, create_complex_data, create_data, multitone
+from tools import (assert_vector_eq, create_complex_data, create_data,
+                   multitone, scaled_tol)
 
 # Reference ranges: RANGE_SINGLE_CORE 10k-100k, RANGE_MULTI_CORE 100k-200k
 # (tools/mod.rs:216-223).  Sizes below and above the dispatch thresholds.
@@ -39,8 +40,8 @@ def test_statistics_vs_numpy_sweep(n):
     data = create_data(n, n)
     s = bd.to_real_time_vec(data).statistics()
     assert s.count == n
-    assert abs(s.average - data.mean()) < 1e-9
-    assert abs(s.rms - np.sqrt((data ** 2).mean())) < 1e-9
+    assert abs(s.average - data.mean()) < scaled_tol(1e-9)
+    assert abs(s.rms - np.sqrt((data ** 2).mean())) < scaled_tol(1e-9)
     assert s.min_index == data.argmin() and s.max_index == data.argmax()
 
 
