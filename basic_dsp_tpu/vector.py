@@ -1019,6 +1019,13 @@ class DspVector:
             return bad
         if self.points() < impulse_response.points():
             return self._invalid(ErrorReason.INVALID_ARGUMENT_LENGTH)
+        if cfg is None and (self.points()
+                            > _config.default_config().overlap_save_min_len):
+            # Lazy one-time calibration on the first large convolution
+            # (reference threading.rs:190-193); loads the per-device cache
+            # or measures + persists.
+            from . import autotune
+            autotune.ensure_calibrated()
         out = _planar.call(conv_ops.convolve_signal, self._data,
                            impulse_response._data,
                            static=(self.is_complex(),

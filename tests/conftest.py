@@ -24,6 +24,14 @@ import os
 import jax
 import pytest
 
+# Pin the autotune cache so the lazy calibration (triggered by large
+# convolutions) loads deterministic reference-gate values instead of
+# timing CPU sweeps in every test process.  test_autotune overrides this
+# per-test to exercise the measure+persist path.
+os.environ.setdefault(
+    "BDSP_AUTOTUNE_CACHE",
+    os.path.join(os.path.dirname(__file__), "data", "autotune_pinned.json"))
+
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_platforms", "cpu")
 # f64 flavors are part of the API surface; the default run exercises both
