@@ -72,14 +72,12 @@ def _save_cache(all_kinds: dict) -> None:
 def _install(entry: dict) -> None:
     global _state
     _state = entry
+    import dataclasses
     cfg = _config.default_config()
-    _config.set_default_config(_config.DspConfig(
-        overlap_save_min_len=cfg.overlap_save_min_len,
-        overlap_save_min_imp_len=cfg.overlap_save_min_imp_len,
-        overlap_save_len_ratio=cfg.overlap_save_len_ratio,
+    _config.set_default_config(dataclasses.replace(
+        cfg,
         direct_conv_max_imp_len=int(entry.get(
             "direct_conv_max_imp_len", cfg.direct_conv_max_imp_len)),
-        direct_conv_min_len=cfg.direct_conv_min_len,
         fft_block_len=int(entry.get("fft_block_len", 0)),
     ))
 

@@ -39,6 +39,10 @@ class DspConfig:
     direct_conv_max_imp_len: int = 202
     direct_conv_min_len: int = 1_000
     fft_block_len: int = 0
+    # VMEM-resident Pallas overlap-save (kernels/overlap_save_pallas.py).
+    # OFF by default: Mosaic compilation hangs on the axon tunnel
+    # (CLAUDE.md); enable on standard TPU runtimes after re-testing.
+    use_pallas_overlap_save: bool = False
 
 
 _default_config = DspConfig()

@@ -273,8 +273,12 @@ def convolve_signal(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
         return toeplitz_conv(x, h, is_complex)
     if (n > cfg.overlap_save_min_len and m > cfg.overlap_save_min_imp_len
             and n > cfg.overlap_save_len_ratio * m):
-        return overlap_save(x, h, is_complex,
-                            pick_fft_len(min(m, n), cfg.fft_block_len))
+        fl = pick_fft_len(min(m, n), cfg.fft_block_len)
+        if getattr(cfg, "use_pallas_overlap_save", False):
+            from ..kernels.overlap_save_pallas import overlap_save_pallas
+            return overlap_save_pallas(x, h, is_complex,
+                                       max(fl, 1024))
+        return overlap_save(x, h, is_complex, fl)
     return convolve_signal_fft(x, h, is_complex)
 
 

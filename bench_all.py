@@ -118,6 +118,27 @@ def main():
     dt = timed(cfg5, c_re, c_im, proto, iters=30)
     results.append(("channelizer_1024ch_4m", n5 / dt / 1e6))
 
+    # Optional: VMEM-resident Pallas overlap-save vs the XLA blocked path
+    # (BDSP_BENCH_PALLAS=1; not on axon — Mosaic hangs there, CLAUDE.md).
+    import os
+    if os.environ.get("BDSP_BENCH_PALLAS") not in (None, "", "0"):
+        from basic_dsp_tpu.kernels import overlap_save_pallas as osp
+        h_long = jnp.asarray(rng.normal(size=384).astype(np.float32))
+
+        def cfg_os_xla(xr, xi, h, carry):
+            x = (xr + carry) + 1j * xi
+            return conv_ops.overlap_save(x, h.astype(jnp.complex64), True,
+                                         4096)
+
+        def cfg_os_pl(xr, xi, h, carry):
+            x = (xr + carry) + 1j * xi
+            return osp.overlap_save_pallas(x, h, True, 4096)
+
+        dt = timed(cfg_os_xla, x_re, x_im, h_long, iters=20)
+        results.append(("overlap_save_xla_384tap_4m", n2 / dt / 1e6))
+        dt = timed(cfg_os_pl, x_re, x_im, h_long, iters=20)
+        results.append(("overlap_save_pallas_384tap_4m", n2 / dt / 1e6))
+
     for name, msps in results:
         print(json.dumps({"metric": name, "value": round(msps, 2),
                           "unit": "Msamples/s"}))

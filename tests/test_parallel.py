@@ -137,15 +137,6 @@ def test_overlap_discard_method(mesh):
                      tol=1e-6)
 
 
-def test_autotune_calibrate_small(mesh):
-    from basic_dsp_tpu import autotune
-    best = autotune.calibrate(n=1 << 12, m=16, candidates=(64, 128, 256),
-                              iters=2)
-    assert best in (64, 128, 256)
-    report = autotune.print_calibration()
-    assert "chosen" in report
-
-
 def test_four_step_fft_matches_jnp():
     from basic_dsp_tpu.parallel import sharded_fft as sf
     for n in [4096, 1 << 14, 900]:
