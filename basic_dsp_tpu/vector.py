@@ -34,7 +34,8 @@ from . import _planar
 from ._planar import PlanarComplex
 from .errors import DspError, ErrorReason
 from .meta import DataDomain, NumberSpace
-from .ops import conv_ops, fft_ops, interp_ops, reorg_ops, stats_ops
+from .ops import approx_ops, conv_ops, fft_ops, interp_ops, reorg_ops, \
+    stats_ops
 from .windows import WindowFunction
 
 __all__ = [
@@ -498,26 +499,29 @@ class DspVector:
     # emits fast vectorized transcendentals; the reduced-precision contract
     # is honored by evaluating through f32 (the reference's SIMD polynomials
     # are likewise f32-accuracy-bounded).
-    def _approx(self, fn) -> "DspVector":
+    def _approx(self, fn, *args) -> "DspVector":
+        """Fast-math family: genuine Cephes-style polynomial evaluators
+        (ops/approx_ops.py), the reference's SIMD approximations
+        (simd_extensions/approximations.rs) — faster, less accurate
+        (~1e-6 relative), f32 polynomial math for every flavor."""
         bad = self._check(complex_=False)
         if bad is not None:
             return bad
-        f32 = self._data.astype(jnp.float32)
-        return self._make(fn(f32).astype(self._data.dtype))
+        return self._make(_jit_static(fn, *args)(self._data))
 
-    def ln_approx(self): return self._approx(jnp.log)
-    def exp_approx(self): return self._approx(jnp.exp)
-    def sin_approx(self): return self._approx(jnp.sin)
-    def cos_approx(self): return self._approx(jnp.cos)
+    def ln_approx(self): return self._approx(approx_ops.ln_approx)
+    def exp_approx(self): return self._approx(approx_ops.exp_approx)
+    def sin_approx(self): return self._approx(approx_ops.sin_approx)
+    def cos_approx(self): return self._approx(approx_ops.cos_approx)
 
     def log_approx(self, base):
-        return self._approx(lambda x: jnp.log(x) / np.float32(math.log(base)))
+        return self._approx(approx_ops.log_approx, float(base))
 
     def expf_approx(self, base):
-        return self._approx(lambda x: np.float32(base) ** x)
+        return self._approx(approx_ops.expf_approx, float(base))
 
     def powf_approx(self, exponent):
-        return self._approx(lambda x: x ** np.float32(exponent))
+        return self._approx(approx_ops.powf_approx, float(exponent))
 
     # ------------------------------------------------------------------
     # Real ops (reference real/real_ops.rs)

@@ -1,32 +1,56 @@
 """Benchmark: Msamples/s on the flagship FIR+FFT chain (BASELINE.md).
 
 Config #2-style workload: 4M-sample complex64 signal, 128-tap raised-cosine
-FIR via blocked overlap-save, Hamming window, shifted FFT magnitude.
+FIR (MXU Toeplitz path), Hamming window, shifted FFT magnitude spectrum via
+the four-step MXU path (ops/fourstep.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured throughput / HBM-roofline estimate (the
-reference publishes no absolute numbers — BASELINE.md), so 1.0 ==
+``vs_baseline`` is measured throughput / the HBM-roofline estimate below
+(the reference publishes no absolute numbers — BASELINE.md), so 1.0 ==
 speed-of-light on this chip's memory bandwidth.
+
+Measurement discipline (VERDICT r1 #2): >=2 warm calls then >=5 timed
+reps, median reported, rep spread printed to stderr.  The timing loop runs
+*inside* jit (lax.fori_loop, output fed back) so per-call tunnel latency
+and XLA loop hoisting don't pollute the measurement.
+
+Roofline model (per-stage minimum HBM bytes at 4M complex64 samples,
+8 B/sample; derived from the stage-by-stage on-chip profile in
+profile_r2.log, replacing round 1's unjustified "7.5 round trips"):
+
+  FIR (Toeplitz matmuls)      read x 32 MB + write 32 MB        =  64 MB
+  spectrum stage-1 FFT        read 32 + write 32 (XLA batched)  =  64 MB
+  twiddle+DFT-matmul+|.|      read 32 + twiddle 32 + mag 16     =  80 MB
+  magnitude transpose         read 16 + write 16                =  32 MB
+                                                         total  = 240 MB
+  (= 60 B/sample; the window multiply fuses into stage-1's read)
+
+At 819 GB/s (v5e) that is 0.293 ms -> 14.3 Gsamples/s.  A VMEM-resident
+megakernel could cut this further (the 32 MB signal fits in VMEM), but
+Mosaic/Pallas hangs on this runtime (CLAUDE.md) — the XLA batched FFT's
+~390 GB/s effective bandwidth is the practical floor here.
 
 Backend notes: complex arrays crossing the host<->device boundary are not
 supported on the axon TPU tunnel, so the signal enters as a real (re, im)
-pair and becomes complex inside jit.  The timing loop runs *inside* jit
-(lax.fori_loop) so per-call tunnel latency doesn't pollute the measurement.
+pair and becomes complex inside jit.
 """
 import json
+import sys
 import time
 
 import numpy as np
 
 
 ITERS = 50
+WARM = 2
+REPS = 5
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from basic_dsp_tpu.ops import conv_ops, fft_ops
+    from basic_dsp_tpu import pipelines
     from basic_dsp_tpu.windows import HammingWindow
     from basic_dsp_tpu.conv_types import RaisedCosineFunction
 
@@ -37,9 +61,10 @@ def main():
     x_im = jnp.asarray(rng.normal(size=n).astype(np.float32))
     rc = RaisedCosineFunction(0.35)
     t = ((np.arange(m) - m // 2) * 0.25).astype(np.float32)
-    taps_re = jnp.asarray(np.asarray(rc.calc(t)))
+    taps_np = np.asarray(rc.calc(t)).astype(np.float32)
+    taps_np /= taps_np.sum()  # unit DC gain keeps the feedback loop stable
+    taps_re = jnp.asarray(taps_np)
     window = HammingWindow().sample(n, dtype=jnp.float32)
-    fft_len = conv_ops.pick_fft_len(m)
 
     @jax.jit
     def chain_iters(x_re, x_im, taps_re, window):
@@ -47,31 +72,32 @@ def main():
         taps = taps_re.astype(jnp.complex64)
 
         def body(_, carry):
-            # Dispatcher routes m=128 to the MXU Toeplitz-matmul path.
-            filtered = conv_ops.convolve_signal(carry, taps, True)
-            spectrum = fft_ops.fft_shifted(filtered
-                                           * window.astype(filtered.dtype))
-            # Feed the result back so XLA cannot hoist the chain out of the
-            # loop; the spectrum feeds in via its first magnitude.
-            return filtered / (jnp.abs(spectrum[0]) + 1.0)
+            mag = pipelines.fir_fft_chain.__wrapped__(carry, taps, window)
+            # Feed the spectrum back so XLA cannot hoist the chain out of
+            # the loop or fold iterations together.
+            return carry * (0.5 + mag[0] * 1e-30) + carry * 0.5
 
         out = jax.lax.fori_loop(0, ITERS, body, x)
         return jnp.abs(out[0])
 
     # Host fetch forces completion (block_until_ready does not reliably
     # block through the axon tunnel).
-    float(chain_iters(x_re, x_im, taps_re, window))  # compile + warm
+    for _ in range(WARM):
+        float(chain_iters(x_re, x_im, taps_re, window))
 
-    start = time.perf_counter()
-    float(chain_iters(x_re, x_im, taps_re, window))
-    elapsed = (time.perf_counter() - start) / ITERS
-    msamples_per_s = n / elapsed / 1e6
+    times = []
+    for _ in range(REPS):
+        start = time.perf_counter()
+        float(chain_iters(x_re, x_im, taps_re, window))
+        times.append((time.perf_counter() - start) / ITERS)
+    times.sort()
+    median = times[len(times) // 2]
+    spread = (times[-1] - times[0]) / times[0] * 100
+    print(f"# reps(ms/iter): {[round(t * 1e3, 4) for t in times]} "
+          f"spread {spread:.1f}%", file=sys.stderr)
+    msamples_per_s = n / median / 1e6
 
-    # HBM roofline estimate for this chain (complex64 = 8 bytes/sample):
-    # overlap-save reads x and writes filtered with ~4/3 block expansion on
-    # each FFT/IFFT round trip (~4x), window+big-FFT ~2x, |.| ~1.5x
-    # => ~7.5 signal-sized HBM round trips at 8B/sample.
-    bytes_per_sample = 8 * 7.5
+    bytes_per_sample = 60.0  # 240 MB / 4M samples; model in the docstring
     hbm_gbps = _device_hbm_gbps(jax.devices()[0])
     roofline_msps = hbm_gbps * 1e9 / bytes_per_sample / 1e6
     vs = msamples_per_s / roofline_msps

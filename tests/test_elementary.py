@@ -233,13 +233,31 @@ def test_complex_trig():
 
 
 def test_approx_ops():
-    data = np.abs(create_data(5, 100)) + 1.0
+    """Cephes-polynomial fast-math family (ops/approx_ops.py): sse_mathfun
+    accuracy grade (~1e-6 relative on the valid range), and genuinely a
+    different evaluation than the exact path (the reference's approx
+    functions are distinct SIMD polynomials, approximations.rs)."""
+    data = np.abs(create_data(5, 1000)) + 1.0
     v = bd.to_real_time_vec(data)
-    assert_vector_eq(v.ln_approx().array, np.log(data), tol=1e-2)
-    w = bd.to_real_time_vec(create_data(6, 100) * 0.1)
-    assert_vector_eq(w.exp_approx().array, np.exp(w.array), tol=1e-3)
-    assert_vector_eq(w.sin_approx().array, np.sin(w.array), tol=1e-5)
-    assert_vector_eq(w.cos_approx().array, np.cos(w.array), tol=1e-5)
+    assert_vector_eq(v.ln_approx().array, np.log(data), tol=1e-5)
+    w = bd.to_real_time_vec(create_data(6, 1000))
+    assert_vector_eq(w.exp_approx().array, np.exp(np.asarray(w.array)),
+                     tol=1e-4 * float(np.exp(np.asarray(w.array)).max()))
+    assert_vector_eq(w.sin_approx().array, np.sin(np.asarray(w.array)),
+                     tol=2e-6)
+    assert_vector_eq(w.cos_approx().array, np.cos(np.asarray(w.array)),
+                     tol=2e-6)
+    assert_vector_eq(v.log_approx(10.0).array, np.log10(data), tol=1e-5)
+    assert_vector_eq(v.powf_approx(1.5).array, data ** 1.5,
+                     tol=1e-4 * float((data ** 1.5).max()))
+    assert_vector_eq(w.expf_approx(2.0).array,
+                     2.0 ** np.asarray(w.array),
+                     tol=1e-4 * float((2.0 ** np.asarray(w.array)).max()))
+    # Not vacuous: the polynomial path must differ from the exact path
+    # somewhere (bitwise), like the reference's separate SIMD evaluators.
+    exact = np.sin(np.asarray(w.array, dtype=np.float32))
+    approx = np.asarray(w.sin_approx().array, dtype=np.float32)
+    assert np.any(exact != approx)
 
 
 def test_map_inplace_and_aggregate():
