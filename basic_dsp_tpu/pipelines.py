@@ -12,11 +12,16 @@ from .ops import conv_ops, fft_ops, fourstep
 
 def _shifted_mag(windowed: jnp.ndarray) -> jnp.ndarray:
     """|fftshift(FFT(windowed))| — four-step MXU path for factorable 1-D
-    lengths, whole-signal XLA FFT otherwise."""
+    lengths, whole-signal XLA FFT otherwise.
+
+    DIF beats DIT in the fused chain (profile2.log: CHAIN_dif128 0.80 ms
+    vs CHAIN_pipeline/dit 0.99 ms at 4M): the DIF stage-1 is a matmul that
+    XLA fuses with the preceding convolution's output, while DIT's stage-1
+    FFT is a custom call nothing fuses into."""
     n = windowed.shape[-1]
     n1, n2 = fourstep.factor(n)
     if windowed.ndim == 1 and n1 >= 64 and n2 % 2 == 0:
-        return fourstep.dit_spectrum_mag(windowed, n1)
+        return fourstep.dif_spectrum_mag(windowed, n1)
     return jnp.abs(fft_ops.fft_shifted(windowed))
 
 

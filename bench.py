@@ -10,9 +10,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 speed-of-light on this chip's memory bandwidth.
 
 Measurement discipline (VERDICT r1 #2): >=2 warm calls then >=5 timed
-reps, median reported, rep spread printed to stderr.  The timing loop runs
-*inside* jit (lax.fori_loop, output fed back) so per-call tunnel latency
-and XLA loop hoisting don't pollute the measurement.
+reps of each loop length, median reported, rep spread printed to stderr.
+The timing loop runs *inside* jit (lax.fori_loop, output fed back) and the
+per-iteration time is the SLOPE between a 1x and a 3x loop-length run —
+per-call fixed costs (the ~25 ms tunnel round trip, dispatch, scalar
+fetch) cancel exactly, leaving steady-state throughput.
 
 Roofline model (per-stage minimum HBM bytes at 4M complex64 samples,
 8 B/sample; derived from the stage-by-stage on-chip profile in
@@ -66,35 +68,53 @@ def main():
     taps_re = jnp.asarray(taps_np)
     window = HammingWindow().sample(n, dtype=jnp.float32)
 
-    @jax.jit
-    def chain_iters(x_re, x_im, taps_re, window):
-        x = x_re + 1j * x_im
-        taps = taps_re.astype(jnp.complex64)
+    def make(iters):
+        @jax.jit
+        def chain_iters(x_re, x_im, taps_re, window):
+            x = x_re + 1j * x_im
+            taps = taps_re.astype(jnp.complex64)
 
-        def body(_, carry):
-            mag = pipelines.fir_fft_chain.__wrapped__(carry, taps, window)
-            # Feed the spectrum back so XLA cannot hoist the chain out of
-            # the loop or fold iterations together.
-            return carry * (0.5 + mag[0] * 1e-30) + carry * 0.5
+            def body(_, carry):
+                x, fb = carry
+                # The feedback scale applies on the way INTO the chain so
+                # it fuses into the convolution's operand reads instead of
+                # costing a separate full-signal pass; it still makes every
+                # iteration depend on the previous spectrum, so XLA cannot
+                # hoist or fold the loop.
+                mag = pipelines.fir_fft_chain.__wrapped__(
+                    x * (1.0 + fb * 1e-30), taps, window)
+                return x, mag[0]
 
-        out = jax.lax.fori_loop(0, ITERS, body, x)
-        return jnp.abs(out[0])
+            out, _ = jax.lax.fori_loop(0, iters, body,
+                                       (x, jnp.float32(0.0)))
+            return jnp.abs(out[0])
+
+        return chain_iters
+
+    run1, run3 = make(ITERS), make(3 * ITERS)
 
     # Host fetch forces completion (block_until_ready does not reliably
     # block through the axon tunnel).
     for _ in range(WARM):
-        float(chain_iters(x_re, x_im, taps_re, window))
+        float(run1(x_re, x_im, taps_re, window))
+        float(run3(x_re, x_im, taps_re, window))
 
-    times = []
-    for _ in range(REPS):
-        start = time.perf_counter()
-        float(chain_iters(x_re, x_im, taps_re, window))
-        times.append((time.perf_counter() - start) / ITERS)
-    times.sort()
-    median = times[len(times) // 2]
-    spread = (times[-1] - times[0]) / times[0] * 100
-    print(f"# reps(ms/iter): {[round(t * 1e3, 4) for t in times]} "
-          f"spread {spread:.1f}%", file=sys.stderr)
+    def med(run):
+        ts = []
+        for _ in range(REPS):
+            start = time.perf_counter()
+            float(run(x_re, x_im, taps_re, window))
+            ts.append(time.perf_counter() - start)
+        ts.sort()
+        spread = (ts[-1] - ts[0]) / ts[0] * 100
+        return ts[len(ts) // 2], spread
+
+    t1, sp1 = med(run1)
+    t3, sp3 = med(run3)
+    median = (t3 - t1) / (2 * ITERS)
+    print(f"# slope {median * 1e3:.4f} ms/iter from t({ITERS})="
+          f"{t1 * 1e3:.1f} ms (spread {sp1:.1f}%), t({3 * ITERS})="
+          f"{t3 * 1e3:.1f} ms (spread {sp3:.1f}%)", file=sys.stderr)
     msamples_per_s = n / median / 1e6
 
     bytes_per_sample = 60.0  # 240 MB / 4M samples; model in the docstring

@@ -56,8 +56,8 @@ def main():
     w1 = HammingWindow().sample(n1, dtype=jnp.float32)
 
     def cfg1(x, w, carry):
-        return jnp.abs(fft_ops.fft_shifted(
-            (x + carry).astype(jnp.complex64) * w))
+        from basic_dsp_tpu import pipelines
+        return pipelines._shifted_mag((x + carry).astype(jnp.complex64) * w)
 
     dt = timed(cfg1, sine, w1, iters=50)
     results.append(("windowed_fft_magnitude_1m", n1 / dt / 1e6))
