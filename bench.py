@@ -85,9 +85,14 @@ def main():
                     x * (1.0 + fb * 1e-30), taps, window)
                 return x, mag[0]
 
-            out, _ = jax.lax.fori_loop(0, iters, body,
+            out, fb = jax.lax.fori_loop(0, iters, body,
                                        (x, jnp.float32(0.0)))
-            return jnp.abs(out[0])
+            # The returned scalar MUST depend on fb (the loop-carried
+            # spectrum sample): fb is the only value that changes across
+            # iterations, and returning anything independent of it lets
+            # XLA dead-code-eliminate the entire loop (measured: a 150-iter
+            # run "finishing" faster than a 50-iter one).
+            return fb + jnp.abs(out[0]) * jnp.float32(1e-30)
 
         return chain_iters
 
@@ -109,12 +114,23 @@ def main():
         spread = (ts[-1] - ts[0]) / ts[0] * 100
         return ts[len(ts) // 2], spread
 
-    t1, sp1 = med(run1)
-    t3, sp3 = med(run3)
-    median = (t3 - t1) / (2 * ITERS)
-    print(f"# slope {median * 1e3:.4f} ms/iter from t({ITERS})="
-          f"{t1 * 1e3:.1f} ms (spread {sp1:.1f}%), t({3 * ITERS})="
-          f"{t3 * 1e3:.1f} ms (spread {sp3:.1f}%)", file=sys.stderr)
+    for attempt in range(3):
+        t1, sp1 = med(run1)
+        t3, sp3 = med(run3)
+        median = (t3 - t1) / (2 * ITERS)
+        print(f"# slope {median * 1e3:.4f} ms/iter from t({ITERS})="
+              f"{t1 * 1e3:.1f} ms (spread {sp1:.1f}%), t({3 * ITERS})="
+              f"{t3 * 1e3:.1f} ms (spread {sp3:.1f}%)", file=sys.stderr)
+        if median > 0 and sp1 < 30 and sp3 < 30:
+            break
+        print("# noisy/non-positive slope, re-measuring", file=sys.stderr)
+    if median <= 0:
+        # Slope measurement unusable (tunnel noise): fall back to the
+        # conservative upper bound that still contains the fixed per-call
+        # cost — never report a negative/absurd throughput.
+        median = t3 / (3 * ITERS)
+        print(f"# fallback: t3/iters = {median * 1e3:.4f} ms/iter",
+              file=sys.stderr)
     msamples_per_s = n / median / 1e6
 
     bytes_per_sample = 60.0  # 240 MB / 4M samples; model in the docstring
