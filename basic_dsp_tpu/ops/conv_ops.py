@@ -161,6 +161,21 @@ def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
 
 @functools.partial(jax.jit, static_argnames=("is_complex", "precision"))
 def _toeplitz_conv_impl(x, h, is_complex: bool, precision: str):
+    if jnp.iscomplexobj(x) and not jnp.iscomplexobj(h):
+        # Real taps against a complex signal: convolution acts per real
+        # plane, so run the Toeplitz matmuls on a stacked (2, ..., n) real
+        # array — 2 real (rows,128)x(128,128) matmuls instead of the 4 a
+        # complex64 matmul decomposes into.  The flagship FIR's
+        # raised-cosine taps are real, halving its MXU time.
+        planes = _toeplitz_body(
+            jnp.stack([jnp.real(x), jnp.imag(x)], axis=0), h, precision)
+        out = jax.lax.complex(planes[0], planes[1])
+        return out if is_complex else planes[0].astype(x.real.dtype)
+    out = _toeplitz_body(x, h, precision)
+    return out if is_complex else jnp.real(out).astype(x.dtype)
+
+
+def _toeplitz_body(x, h, precision: str):
     n = x.shape[-1]
     m = h.shape[-1]
     start, length, c = _clip_kernel(n, m)
@@ -195,8 +210,7 @@ def _toeplitz_conv_impl(x, h, is_complex: bool, precision: str):
             x.shape[:-1] + (R, 128))
         out = out + jnp.matmul(block, Ta,
                                precision=precision).reshape(out.shape)
-    out = out[..., :n]
-    return out if is_complex else jnp.real(out).astype(x.dtype)
+    return out[..., :n]
 
 
 def toeplitz_conv_multi(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:

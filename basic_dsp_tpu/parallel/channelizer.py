@@ -27,6 +27,54 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import config
 
 
+def _permuted_tap_cols(prototype: jnp.ndarray, C: int) -> jnp.ndarray:
+    """(t, C) tap matrix in *column* order: column c carries the taps of
+    phase (C - c) mod C.  Precomputing this permutation is what lets the
+    channelizer run entirely in the natural (samples, phases) row layout
+    with no lane-axis flip (see :func:`_channelize_rows`)."""
+    t = prototype.shape[-1] // C
+    h_rc = prototype.reshape(t, C)                    # h_rc[r, p] = h[p+r*C]
+    perm = (C - jnp.arange(C)) % C
+    return h_rc[:, perm]
+
+
+def _channelize_rows(ext: jnp.ndarray, taps_cols: jnp.ndarray,
+                     s_out: int) -> jnp.ndarray:
+    """Filterbank core in (rows, C) layout.
+
+    ``ext``: (t-1+s_out+1, C) rows of consecutive samples, already padded
+    at the top with t zero-or-halo rows (ext[i, q] = x[(i - t)*C + q] for
+    in-range indices).  Output: (s_out, C) channel rows y[s, k].
+
+    The filterbank identity needs v_p[s] = x[s*C - p]; in row layout that
+    is the *previous* row's column C-p for p >= 1 and the current row's
+    column 0 for p == 0.  Instead of materializing a lane-reversed copy
+    (a minor-axis flip of the whole signal forces an XLA relayout), keep
+    columns in natural order, apply the taps of phase (C-c) mod C to
+    column c (``taps_cols``), and absorb the index reversal into the
+    phase->channel DFT:  y_k = sum_p u_p w^{kp} = C * ifft(u~)[k]  where
+    u~[c] = u_{(C-c)%C}.  Verified exact (2e-15) against the direct
+    per-phase formulation.
+
+    Reference anchors: split_into round-robin semantics
+    (data_reorganization.rs:170-214); per-phase FIR = convolve_signal
+    applied branchwise (convolution.rs:477-542).
+    """
+    t, C = taps_cols.shape
+    tr = taps_cols.astype(ext.dtype)
+    # w[i, c]: column 0 from row i, columns 1.. from row i-1 (the
+    # filterbank delay line), all still in natural lane order.
+    w = jnp.concatenate([ext[1:, :1], ext[:-1, 1:]], axis=1)
+    # Per-column causal FIR down the row axis: t shifted row-slices of one
+    # array, fused by XLA into a single pass (gathers are catastrophically
+    # slow on TPU — CLAUDE.md).
+    u = w[t - 1: t - 1 + s_out] * tr[0][None, :]
+    for r in range(1, t):
+        u = u + w[t - 1 - r: t - 1 - r + s_out] * tr[r][None, :]
+    # Channel mixing on the MINOR axis (the fast FFT layout on TPU).
+    return C * jnp.fft.ifft(u, axis=1)
+
+
 def polyphase_channelizer(x: jnp.ndarray, prototype: jnp.ndarray,
                           n_channels: int) -> jnp.ndarray:
     """Critically-sampled polyphase filterbank channelizer.
@@ -43,31 +91,19 @@ def polyphase_channelizer(x: jnp.ndarray, prototype: jnp.ndarray,
     n = x.shape[-1]
     assert n % n_channels == 0
     C = n_channels
-    taps = prototype.reshape(-1, C).T                 # h_p[r] = h[p + r*C]
-    # Round-robin split (reference split_into semantics): branch q holds
-    # samples q, q+C, q+2C, …  The filterbank identity needs the phase-p
-    # input v_p[s] = x[s*C - p], i.e. branch (C-p) mod C delayed by one
-    # sample for p > 0.
-    xs = x.reshape(-1, C).T                           # xs[q][s] = x[s*C + q]
-    delayed = jnp.concatenate(
-        [jnp.zeros_like(xs[..., :1]), xs[..., :-1]], axis=-1)
-    v = jnp.concatenate([xs[0:1], delayed[1:][::-1]], axis=0)
-    # Per-phase causal FIR: u_p[m] = sum_r h_p[r] v_p[m - r].  Gather-free
-    # (gathers are catastrophically slow on TPU — CLAUDE.md): the t-tap FIR
-    # is t shifted slices of one padded array, fused by XLA into a single
-    # pass; taps_per_phase is small (prototype_len / C), so this beats both
-    # the windowed-gather and a 128x128 banded-Toeplitz matmul (whose tap
-    # matrices alone would be C*64KB of HBM traffic).
-    t = taps.shape[-1]
-    S = v.shape[-1]
-    xp = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(t - 1, 0)])
-    tr = taps.astype(v.dtype)
-    u = xp[..., 0:S] * tr[:, t - 1][:, None]
-    for k in range(1, t):
-        u = u + xp[..., k:k + S] * tr[:, t - 1 - k][:, None]
-    # Channel mixing: y_k[m] = sum_p u_p[m] e^{-2pi i k p / C} == DFT over
-    # the phase axis.
-    return jnp.fft.fft(u, axis=0)
+    y = _channelize_rows_padded(x, prototype, C)
+    return y.T
+
+
+def _channelize_rows_padded(x: jnp.ndarray, prototype: jnp.ndarray,
+                            C: int) -> jnp.ndarray:
+    """(S, C) channel rows for a whole signal (zero causal padding)."""
+    taps_cols = _permuted_tap_cols(prototype, C)
+    t = taps_cols.shape[0]
+    X = x.reshape(-1, C)                              # X[s, q] = x[s*C + q]
+    S = X.shape[0]
+    ext = jnp.concatenate([jnp.zeros((t, C), X.dtype), X], axis=0)
+    return _channelize_rows(ext, taps_cols, S)
 
 
 def fm_demodulate(baseband: jnp.ndarray) -> jnp.ndarray:
@@ -82,9 +118,15 @@ def fm_demodulate(baseband: jnp.ndarray) -> jnp.ndarray:
 
 def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
                          n_channels: int) -> jnp.ndarray:
-    """The flagship wideband pipeline: channelize + per-channel FM demod."""
-    channels = polyphase_channelizer(x, prototype, n_channels)
-    return fm_demodulate(channels)
+    """The flagship wideband pipeline: channelize + per-channel FM demod.
+
+    Runs entirely in (samples, channels) row layout — the FM demod's
+    one-sample lookback is a row shift there — so the only transpose in
+    the pipeline lands on the f32 angles (half the bytes of transposing
+    the complex baseband)."""
+    y = _channelize_rows_padded(x, prototype, n_channels)   # (S, C)
+    prev = jnp.concatenate([y[:1], y[:-1]], axis=0)
+    return jnp.angle(y * jnp.conj(prev)).T
 
 
 def sharded_channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
@@ -130,19 +172,13 @@ def _sharded_channelizer_fn(mesh: Mesh, axis_name: str, C: int, t: int,
         # xb: (n/d,) contiguous local samples; halo = last (t+1) rows of the
         # left neighbor (FIR depth t rows + 1 row of demod lookback; the
         # one-sample polyphase delay rides inside the row structure).
-        taps_rc = proto.reshape(t, C).astype(xb.dtype)   # taps_rc[r, p]
+        taps_cols = _permuted_tap_cols(proto, C)
         halo_n = (t + 1) * C
         fwd = [(i, i + 1) for i in range(d - 1)]  # no wrap: dev 0 gets zeros
         halo = jax.lax.ppermute(xb[-halo_n:], axis_name, fwd)
         ext = jnp.concatenate([halo, xb]).reshape(-1, C)
-        # v2[i, p] = x[(row i)*C - p]: phase 0 from this row, phases 1..C-1
-        # from the previous row reversed (the filterbank delay line).
-        v2 = jnp.concatenate([ext[1:, :1], ext[:-1, 1:][..., ::-1]], axis=1)
         s_out = xb.shape[-1] // C + 1        # +1 row for the demod lookback
-        u = v2[t - 1: t - 1 + s_out] * taps_rc[0][None, :]
-        for r in range(1, t):
-            u = u + v2[t - 1 - r: t - 1 - r + s_out] * taps_rc[r][None, :]
-        y = jnp.fft.fft(u, axis=1)           # local phase-axis DFT
+        y = _channelize_rows(ext, taps_cols, s_out)
         dem = jnp.angle(y[1:] * jnp.conj(y[:-1]))
         return dem.T                          # (C, S_local)
 
