@@ -27,50 +27,63 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import config
 
 
-def _permuted_tap_cols(prototype: jnp.ndarray, C: int) -> jnp.ndarray:
-    """(t, C) tap matrix in *column* order: column c carries the taps of
-    phase (C - c) mod C.  Precomputing this permutation is what lets the
-    channelizer run entirely in the natural (samples, phases) row layout
-    with no lane-axis flip (see :func:`_channelize_rows`)."""
+def _merged_tap_rows(prototype: jnp.ndarray, C: int) -> jnp.ndarray:
+    """(t+1, C) tap matrix TS for the pure-row-stencil filterbank core.
+
+    Column c carries the taps of phase (C - c) mod C (so the channelizer
+    runs in the natural (samples, phases) row layout with no lane-axis
+    flip), and the filterbank's one-row delay line — column 0 reads the
+    *current* row while columns 1.. read the *previous* row — is folded
+    into one extra tap row instead of a lane-shifted copy of the signal:
+
+        TS[p, 0]    = tc[p, 0]      (p < t;  TS[t, 0] = 0)
+        TS[p, c>=1] = tc[p - 1, c]  (p >= 1; TS[0, c>=1] = 0)
+
+    where tc[r, c] = prototype[(C - c) % C + r*C].  Then
+    ``u[s] = sum_p TS[p] * ext[t - p + s]`` — every term a whole-row
+    offset slice of one array, which XLA fuses into a single aligned
+    stencil pass (the previous formulation's 1-lane minor-axis shift
+    forced a full relayout and dominated the pipeline: 1.5 of 1.8 ms at
+    4M/1024ch on v5e)."""
     t = prototype.shape[-1] // C
     h_rc = prototype.reshape(t, C)                    # h_rc[r, p] = h[p+r*C]
     perm = (C - jnp.arange(C)) % C
-    return h_rc[:, perm]
+    tc = h_rc[:, perm]
+    top = jnp.concatenate([tc[:1, :1],
+                           jnp.zeros((1, C - 1), tc.dtype)], axis=1)
+    rest = jnp.concatenate([tc[1:, :1], tc[:-1, 1:]], axis=1)
+    bottom = jnp.concatenate([jnp.zeros((1, 1), tc.dtype),
+                              tc[-1:, 1:]], axis=1)
+    return jnp.concatenate([top, rest, bottom], axis=0)
 
 
-def _channelize_rows(ext: jnp.ndarray, taps_cols: jnp.ndarray,
+def _channelize_rows(ext: jnp.ndarray, taps_merged: jnp.ndarray,
                      s_out: int) -> jnp.ndarray:
     """Filterbank core in (rows, C) layout.
 
-    ``ext``: (t-1+s_out+1, C) rows of consecutive samples, already padded
+    ``ext``: (t + s_out, C) rows of consecutive samples, already padded
     at the top with t zero-or-halo rows (ext[i, q] = x[(i - t)*C + q] for
-    in-range indices).  Output: (s_out, C) channel rows y[s, k].
+    in-range indices, t = taps_merged.shape[0] - 1).  Output: (s_out, C)
+    channel rows y[s, k].
 
-    The filterbank identity needs v_p[s] = x[s*C - p]; in row layout that
-    is the *previous* row's column C-p for p >= 1 and the current row's
-    column 0 for p == 0.  Instead of materializing a lane-reversed copy
-    (a minor-axis flip of the whole signal forces an XLA relayout), keep
-    columns in natural order, apply the taps of phase (C-c) mod C to
-    column c (``taps_cols``), and absorb the index reversal into the
-    phase->channel DFT:  y_k = sum_p u_p w^{kp} = C * ifft(u~)[k]  where
-    u~[c] = u_{(C-c)%C}.  Verified exact (2e-15) against the direct
-    per-phase formulation.
+    The filterbank identity needs v_p[s] = x[s*C - p]; the lane
+    reversal is absorbed into the phase->channel DFT (y_k = C*ifft(u~)[k]
+    with u~[c] = u_{(C-c)%C}) and the one-row delay line into the merged
+    tap matrix (see :func:`_merged_tap_rows`), leaving a pure row-offset
+    stencil — no gathers, no lane shifts (both catastrophically slow on
+    TPU — CLAUDE.md).  Verified exact against the direct per-phase
+    formulation.
 
     Reference anchors: split_into round-robin semantics
     (data_reorganization.rs:170-214); per-phase FIR = convolve_signal
     applied branchwise (convolution.rs:477-542).
     """
-    t, C = taps_cols.shape
-    tr = taps_cols.astype(ext.dtype)
-    # w[i, c]: column 0 from row i, columns 1.. from row i-1 (the
-    # filterbank delay line), all still in natural lane order.
-    w = jnp.concatenate([ext[1:, :1], ext[:-1, 1:]], axis=1)
-    # Per-column causal FIR down the row axis: t shifted row-slices of one
-    # array, fused by XLA into a single pass (gathers are catastrophically
-    # slow on TPU — CLAUDE.md).
-    u = w[t - 1: t - 1 + s_out] * tr[0][None, :]
-    for r in range(1, t):
-        u = u + w[t - 1 - r: t - 1 - r + s_out] * tr[r][None, :]
+    tp1, C = taps_merged.shape
+    t = tp1 - 1
+    tr = taps_merged.astype(ext.dtype)
+    u = ext[t: t + s_out] * tr[0][None, :]
+    for p in range(1, t + 1):
+        u = u + ext[t - p: t - p + s_out] * tr[p][None, :]
     # Channel mixing on the MINOR axis (the fast FFT layout on TPU).
     return C * jnp.fft.ifft(u, axis=1)
 
@@ -98,12 +111,12 @@ def polyphase_channelizer(x: jnp.ndarray, prototype: jnp.ndarray,
 def _channelize_rows_padded(x: jnp.ndarray, prototype: jnp.ndarray,
                             C: int) -> jnp.ndarray:
     """(S, C) channel rows for a whole signal (zero causal padding)."""
-    taps_cols = _permuted_tap_cols(prototype, C)
-    t = taps_cols.shape[0]
+    taps_merged = _merged_tap_rows(prototype, C)
+    t = taps_merged.shape[0] - 1
     X = x.reshape(-1, C)                              # X[s, q] = x[s*C + q]
     S = X.shape[0]
     ext = jnp.concatenate([jnp.zeros((t, C), X.dtype), X], axis=0)
-    return _channelize_rows(ext, taps_cols, S)
+    return _channelize_rows(ext, taps_merged, S)
 
 
 def fm_demodulate(baseband: jnp.ndarray) -> jnp.ndarray:
@@ -172,13 +185,13 @@ def _sharded_channelizer_fn(mesh: Mesh, axis_name: str, C: int, t: int,
         # xb: (n/d,) contiguous local samples; halo = last (t+1) rows of the
         # left neighbor (FIR depth t rows + 1 row of demod lookback; the
         # one-sample polyphase delay rides inside the row structure).
-        taps_cols = _permuted_tap_cols(proto, C)
+        taps_merged = _merged_tap_rows(proto, C)
         halo_n = (t + 1) * C
         fwd = [(i, i + 1) for i in range(d - 1)]  # no wrap: dev 0 gets zeros
         halo = jax.lax.ppermute(xb[-halo_n:], axis_name, fwd)
         ext = jnp.concatenate([halo, xb]).reshape(-1, C)
         s_out = xb.shape[-1] // C + 1        # +1 row for the demod lookback
-        y = _channelize_rows(ext, taps_cols, s_out)
+        y = _channelize_rows(ext, taps_merged, s_out)
         dem = jnp.angle(y[1:] * jnp.conj(y[:-1]))
         return dem.T                          # (C, S_local)
 
