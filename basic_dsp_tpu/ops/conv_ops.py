@@ -161,17 +161,15 @@ def toeplitz_conv(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
 
 @functools.partial(jax.jit, static_argnames=("is_complex", "precision"))
 def _toeplitz_conv_impl(x, h, is_complex: bool, precision: str):
-    if jnp.iscomplexobj(x) and not jnp.iscomplexobj(h):
-        # Real taps against a complex signal: convolution acts per real
-        # plane, so run the Toeplitz matmuls on a stacked (2, ..., n) real
-        # array — 2 real (rows,128)x(128,128) matmuls instead of the 4 a
-        # complex64 matmul decomposes into.  The flagship FIR's
-        # raised-cosine taps are real, halving its MXU time.
-        planes = _toeplitz_body(
-            jnp.stack([jnp.real(x), jnp.imag(x)], axis=0), h, precision)
-        out = jax.lax.complex(planes[0], planes[1])
-        return out if is_complex else planes[0].astype(x.real.dtype)
-    out = _toeplitz_body(x, h, precision)
+    # Real taps against a complex signal: measured on v5e, running the
+    # matmuls on stacked (2, ..., n) real planes (2 real matmuls instead
+    # of the 4 a complex64 matmul decomposes into) is ~0.5 ms SLOWER at
+    # 4M/128 taps than just casting the taps: complex64 is interleaved on
+    # TPU, so real()/stack()/complex() each cost a full relayout pass
+    # that swamps the halved MXU work (profile_r3.py V0 0.84 ms vs V1
+    # 1.38 ms).  Cast and let XLA's complex dot handle the planes.
+    out = _toeplitz_body(x, h.astype(jnp.result_type(x.dtype, h.dtype)),
+                         precision)
     return out if is_complex else jnp.real(out).astype(x.dtype)
 
 
