@@ -47,14 +47,22 @@ def _tap_matrices(q, m_eff: int, n_shifts: int):
     return jnp.stack(mats)
 
 
+def _dot_f32(a, b):
+    """MXU dot at f32-exact precision.  ``preferred_element_type`` alone
+    only sets the ACCUMULATOR dtype — the operands still round to bf16
+    (measured 2.4e-3 rel err on v5e); precision=HIGHEST forces the
+    6-pass f32-exact product, matching the package-wide contract
+    (CLAUDE.md "MXU matmul precision")."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _fir_kernel_real(z_ref, halo_ref, taps_ref, out_ref, *, tile_rows,
                      n_shifts):
     full = jnp.concatenate([z_ref[:, :], halo_ref[0]], axis=0)
-    acc = jnp.dot(full[0:tile_rows, :], taps_ref[0],
-                  preferred_element_type=jnp.float32)
+    acc = _dot_f32(full[0:tile_rows, :], taps_ref[0])
     for a in range(1, n_shifts):
-        acc += jnp.dot(full[a:a + tile_rows, :], taps_ref[a],
-                       preferred_element_type=jnp.float32)
+        acc += _dot_f32(full[a:a + tile_rows, :], taps_ref[a])
     out_ref[:, :] = acc
 
 
@@ -69,10 +77,8 @@ def _fir_kernel_complex(zr_ref, zi_ref, hr_ref, hi_ref, tr_ref, ti_ref,
         zi = fi[a:a + tile_rows, :]
         tr = tr_ref[a]
         ti = ti_ref[a]
-        acc_r += (jnp.dot(zr, tr, preferred_element_type=jnp.float32)
-                  - jnp.dot(zi, ti, preferred_element_type=jnp.float32))
-        acc_i += (jnp.dot(zr, ti, preferred_element_type=jnp.float32)
-                  + jnp.dot(zi, tr, preferred_element_type=jnp.float32))
+        acc_r += _dot_f32(zr, tr) - _dot_f32(zi, ti)
+        acc_i += _dot_f32(zr, ti) + _dot_f32(zi, tr)
     or_ref[:, :] = acc_r
     oi_ref[:, :] = acc_i
 

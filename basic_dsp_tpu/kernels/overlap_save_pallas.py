@@ -36,7 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.conv_ops import _clip_kernel
 
 LANES = 128
-DEFAULT_BLOCKS_PER_TILE = 4
+# Mosaic requires the second-to-last block dim to be a multiple of 8 (or
+# the whole array dim); 8 blocks/tile also gives better DMA/compute overlap.
+DEFAULT_BLOCKS_PER_TILE = 8
 
 
 def _factor_fft_len(fft_len: int):
@@ -72,15 +74,17 @@ def _dft_planes(fft_len: int):
 
 
 def _cm(ar, ai, br, bi):
-    """Complex matmul on f32 planes (batched last-two-dims contraction)."""
-    rr = jnp.einsum("...ij,jk->...ik", ar, br,
-                    preferred_element_type=jnp.float32)
-    ri = jnp.einsum("...ij,jk->...ik", ar, bi,
-                    preferred_element_type=jnp.float32)
-    ir = jnp.einsum("...ij,jk->...ik", ai, br,
-                    preferred_element_type=jnp.float32)
-    ii = jnp.einsum("...ij,jk->...ik", ai, bi,
-                    preferred_element_type=jnp.float32)
+    """Complex matmul on f32 planes (batched last-two-dims contraction).
+    precision=HIGHEST: ``preferred_element_type`` only pins the
+    accumulator; operands would otherwise round to bf16 on the MXU."""
+    def mm(a, b):
+        return jnp.einsum("...ij,jk->...ik", a, b,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    rr = mm(ar, br)
+    ri = mm(ar, bi)
+    ir = mm(ai, br)
+    ii = mm(ai, bi)
     return rr - ii, ri + ir
 
 

@@ -80,10 +80,22 @@ def _channelize_rows(ext: jnp.ndarray, taps_merged: jnp.ndarray,
     """
     tp1, C = taps_merged.shape
     t = tp1 - 1
-    tr = taps_merged.astype(ext.dtype)
-    u = ext[t: t + s_out] * tr[0][None, :]
-    for p in range(1, t + 1):
-        u = u + ext[t - p: t - p + s_out] * tr[p][None, :]
+    # Depthwise VALID conv over the row axis, one group per phase lane,
+    # both complex planes in the batch dim: u[s, c] = sum_p TS[p, c] *
+    # ext[s + t - p, c].  XLA's conv emitter blocks the input in VMEM and
+    # reuses it across taps — measured 0.18 ms vs 0.24 ms for the
+    # equivalent whole-row offset-slice stencil at 4M/1024ch on v5e
+    # (profile_chan.py: fir_depthwise vs fir_merged; full chain 0.49 vs
+    # 0.57 ms).  Inside one jit the real/imag split fuses with the
+    # upstream planar entry, so no relayout pass is paid.
+    rhs = jnp.flip(taps_merged, axis=0).reshape(t + 1, 1, C)
+    lhs = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs.astype(lhs.dtype),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=C, precision="highest")
+    u = jax.lax.complex(out[0, :s_out], out[1, :s_out])
     # Channel mixing on the MINOR axis (the fast FFT layout on TPU).
     return C * jnp.fft.ifft(u, axis=1)
 
