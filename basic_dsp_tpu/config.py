@@ -43,6 +43,10 @@ class DspConfig:
     # OFF by default: Mosaic compilation hangs on the axon tunnel
     # (CLAUDE.md); enable on standard TPU runtimes after re-testing.
     use_pallas_overlap_save: bool = False
+    # Pallas fused row-FFT + fftshift + |.| for the four-step spectrum
+    # (kernels/spectrum_pallas.py).  Compiles and matches on axon
+    # (probe_spectrum.log); gated per-geometry by spectrum_pallas.supported.
+    use_pallas_spectrum: bool = False
 
 
 _default_config = DspConfig()

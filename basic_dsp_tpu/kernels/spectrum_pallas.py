@@ -1,0 +1,237 @@
+"""Pallas TPU kernel for the four-step spectrum's inner batched FFT —
+the flagship chain's dominant stage (BENCH: the 128x32768 minor-axis FFT
+plus |.| costs ~0.5 ms of the 0.87 ms chain on v5e).
+
+The XLA path (ops/fourstep.dif_spectrum_mag) does::
+
+    D = jnp.fft.fft(B * T, axis=-1); return abs(D).T
+
+which pays (a) an interleave into complex storage, (b) XLA's internal FFT
+staging, (c) a separate |.| pass.  This kernel computes each row's
+32768-point FFT *in VMEM* on planar (re, im) f32 planes:
+
+* view the row as (L2, 128) with j = j1*128 + j2;
+* stage 1: radix-2 Stockham autosort FFT of length L2 along the SUBLANE
+  axis — whole-sublane slices + elementwise butterflies, no lane
+  crossings (lane shuffles are the slow path on TPU);
+* in-row twiddle W[k1', j2'] = w_n2^(k1' j2') (precomputed input);
+* stage 2: the lane-crossing DFT-128 as an MXU matmul against F128, with
+  the *global* fftshift folded in as a column rotation (the spectrum
+  chain's shift lands entirely on this axis for n = n1*L2*128*2^k);
+* |.| fused before the store — the kernel writes f32 magnitudes.
+
+Reference anchor: realizes time_to_freq.rs:158-165 (fft = plain_fft +
+fft_shift) + complex_to_real magnitude for the four-step's inner stage.
+
+Constraints (measured on the axon runtime): kernel dots need
+precision=HIGHEST (bf16 rounding otherwise); block dims (8k, 128m); no
+complex dtypes in kernels -> planar planes throughout.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+ROWS_PER_BLOCK = 8
+
+
+def _dot_f32(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _stage_w(half: int, m: int):
+    """Radix-2 stage twiddle w = exp(-2j pi k / m), k in [0, half), as
+    (half, 1) f32 planes built IN-KERNEL (Pallas forbids captured
+    constants; ~L2 total cos/sin evaluations per block is free on VPU)."""
+    # Mosaic only accepts integer iota; cast to f32 after.
+    k = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0).astype(jnp.float32)
+    ang = (-2.0 * np.pi / m) * k
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+@functools.lru_cache(maxsize=8)
+def _inner_consts(L2: int, n2: int, shift_cols: int):
+    """(Wr, Wi, Fr, Fi) numpy planes: W[k1', j2'] = w_n2^(k1' j2')
+    (L2, 128); F[j2', k2'] = w_128^(j2' k2') with output columns rotated
+    by ``shift_cols`` (the global fftshift fold)."""
+    k1 = np.arange(L2)[:, None]
+    j2 = np.arange(LANES)[None, :]
+    W = np.exp(-2j * np.pi * (k1 * j2) / n2).astype(np.complex64)
+    k2 = (np.arange(LANES) + shift_cols) % LANES
+    F = np.exp(-2j * np.pi * np.outer(np.arange(LANES), k2) / LANES
+               ).astype(np.complex64)
+    return (np.ascontiguousarray(W.real), np.ascontiguousarray(W.imag),
+            np.ascontiguousarray(F.real), np.ascontiguousarray(F.imag))
+
+
+def _stockham_axis(ar, ai, L2: int, scratch=None):
+    """Natural-order mixed radix-4/2 autosort FFT of length L2 along axis
+    -2 of (..., L2, 128) planar planes.  Only whole-sublane slices,
+    elementwise butterflies and axis concatenation — no lane shuffles, no
+    gathers.  Radix-4 halves the stage count (VMEM stack pressure: Mosaic
+    does not reuse stack slots across the stage chain, 16 MB scoped
+    limit); ``scratch`` = ((ra, ia), (rb, ib)) flat VMEM refs to ping-pong
+    stage results through, breaking the SSA liveness chain."""
+    B = ar.shape[0]
+    c, m = 1, L2
+    stage = 0
+    while m > 1:
+        arv = ar.reshape(B, c, m, LANES)
+        aiv = ai.reshape(B, c, m, LANES)
+        if m % 4 == 0:
+            q = m // 4
+            a0r, a1r = arv[:, :, :q, :], arv[:, :, q:2 * q, :]
+            a2r, a3r = arv[:, :, 2 * q:3 * q, :], arv[:, :, 3 * q:, :]
+            a0i, a1i = aiv[:, :, :q, :], aiv[:, :, q:2 * q, :]
+            a2i, a3i = aiv[:, :, 2 * q:3 * q, :], aiv[:, :, 3 * q:, :]
+            t0r, t0i = a0r + a2r, a0i + a2i
+            t1r, t1i = a1r + a3r, a1i + a3i
+            t2r, t2i = a0r - a2r, a0i - a2i
+            # t3 = -1j * (a1 - a3)
+            t3r, t3i = a1i - a3i, a3r - a1r
+            w1r, w1i = _stage_w(q, m)
+            w1r, w1i = w1r[None, None, :, :], w1i[None, None, :, :]
+            # w^2, w^3 from w by complex squaring/mul (VPU, tiny).
+            w2r, w2i = w1r * w1r - w1i * w1i, 2.0 * w1r * w1i
+            w3r, w3i = w2r * w1r - w2i * w1i, w2r * w1i + w2i * w1r
+            y0r, y0i = t0r + t1r, t0i + t1i
+            u1r, u1i = t2r + t3r, t2i + t3i
+            u2r, u2i = t0r - t1r, t0i - t1i
+            u3r, u3i = t2r - t3r, t2i - t3i
+            nr = jnp.concatenate(
+                [y0r, u1r * w1r - u1i * w1i, u2r * w2r - u2i * w2i,
+                 u3r * w3r - u3i * w3i], axis=1)
+            ni = jnp.concatenate(
+                [y0i, u1r * w1i + u1i * w1r, u2r * w2i + u2i * w2r,
+                 u3r * w3i + u3i * w3r], axis=1)
+            c, m = 4 * c, q
+        else:
+            half = m // 2
+            wr, wi = _stage_w(half, m)
+            wr, wi = wr[None, None, :, :], wi[None, None, :, :]
+            er, ei = arv[:, :, :half, :], aiv[:, :, :half, :]
+            orr, oi = arv[:, :, half:, :], aiv[:, :, half:, :]
+            dr, di = er - orr, ei - oi
+            nr = jnp.concatenate([er + orr, dr * wr - di * wi], axis=1)
+            ni = jnp.concatenate([ei + oi, dr * wi + di * wr], axis=1)
+            c, m = 2 * c, half
+        if scratch is not None and m > 1:
+            rref, iref = scratch[stage % 2]
+            rref[...] = nr.reshape(B, L2 * LANES)
+            iref[...] = ni.reshape(B, L2 * LANES)
+            ar, ai = rref[...], iref[...]
+        else:
+            ar, ai = nr, ni
+        stage += 1
+    # (B, L2, 1, 128) -> (B, L2, 128); the c axis is the natural-order k1'.
+    return ar.reshape(B, L2, LANES), ai.reshape(B, L2, LANES)
+
+
+def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fi_ref,
+                   mag_ref, sra, sia, srb, sib, *, L2, rows):
+    gr = br_ref[...].reshape(rows, L2, LANES)
+    gi = bi_ref[...].reshape(rows, L2, LANES)
+    gr, gi = _stockham_axis(gr, gi, L2, ((sra, sia), (srb, sib)))
+    wr = wr_ref[...][None, :, :]
+    wi = wi_ref[...][None, :, :]
+    hr = gr * wr - gi * wi
+    hi = gr * wi + gi * wr
+    # Lane-crossing DFT-128 on the MXU: flatten rows*L2 into the matmul's
+    # contraction-free dimension.
+    hr2 = hr.reshape(rows * L2, LANES)
+    hi2 = hi.reshape(rows * L2, LANES)
+    Fr = fr_ref[...]
+    Fi = fi_ref[...]
+    dr = _dot_f32(hr2, Fr) - _dot_f32(hi2, Fi)
+    di = _dot_f32(hr2, Fi) + _dot_f32(hi2, Fr)
+    mag_ref[...] = jnp.sqrt(dr * dr + di * di).reshape(rows, L2, LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "interpret"))
+def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
+               interpret: bool = False) -> jnp.ndarray:
+    """|FFT(rows)| (optionally global-fftshift-folded) of planar rows.
+
+    Br, Bi: (n1, n2) f32 planes of the post-stage-1, post-big-twiddle
+    four-step data.  n2 must be L2*128 with L2 a power of two.  Returns
+    (n1, L2, 128) f32 with M[k1, k1', k2s] = |X_row[k1' + L2*((k2s +
+    L2s) % 128)]| — flatten via ``M.transpose(2, 1, 0).reshape(-1)`` for
+    the natural shifted-spectrum order.
+    """
+    n1, n2 = Br.shape
+    L2 = n2 // LANES
+    assert L2 * LANES == n2 and (L2 & (L2 - 1)) == 0, n2
+    # Global fftshift: N/2 = n1*n2/2 => k2' roll by 64 when n2/2 is a
+    # multiple of ... it lands on the k2' axis iff N/2 = n1*L2*64, i.e.
+    # always (N/2 / (n1*L2) = 64).
+    shift_cols = 64 if shift else 0
+    Wr, Wi, Fr, Fi = (jnp.asarray(p)
+                      for p in _inner_consts(L2, n2, shift_cols))
+    rows = min(ROWS_PER_BLOCK, n1)
+    assert n1 % rows == 0
+    grid = (n1 // rows,)
+    row_spec = pl.BlockSpec((rows, n2), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((L2, LANES), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rows, L2, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((rows, n2), jnp.float32)] * 4
+    # Mosaic's default scoped-VMEM stack limit is 16 MB; the stage chain's
+    # live temporaries exceed it at L2 >= 256 (measured 30.4 MB).  v5e has
+    # 128 MB physical VMEM — raise the per-kernel limit instead of
+    # shrinking blocks below MXU-efficient sizes.
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        functools.partial(_rowfft_kernel, L2=L2, rows=rows),
+        grid=grid,
+        in_specs=[row_spec, row_spec, w_spec, w_spec, f_spec, f_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n1, L2, LANES), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=params,
+        interpret=interpret,
+    )(Br, Bi, Wr, Wi, Fr, Fi)
+
+
+def supported(n1: int, n2: int) -> bool:
+    L2 = n2 // LANES
+    return (L2 * LANES == n2 and L2 >= 2 and (L2 & (L2 - 1)) == 0
+            and n1 % min(ROWS_PER_BLOCK, n1) == 0)
+
+
+def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
+                            interpret: bool = False) -> jnp.ndarray:
+    """|fftshift(FFT(xw))| — the four-step DIF spectrum with the inner
+    batched FFT + twiddle + |.| as the Pallas row-FFT kernel.
+
+    Drop-in replacement for ``ops.fourstep.dif_spectrum_mag`` on lengths
+    where ``supported(n1, n2)``; stage 1 (the n1-point MXU DFT over
+    columns) and the big twiddle stay XLA so they fuse with the upstream
+    convolution; the kernel owns the per-row 32k FFT, the global-fftshift
+    column rotation and the magnitude."""
+    from ..ops import fourstep
+    from .. import config
+
+    n = xw.shape[-1]
+    n1, n2 = fourstep.factor(n, n1)
+    Fr, Fi, Tr, Ti = fourstep._dif_planes(n1, n2)
+    F = jax.lax.complex(jnp.asarray(Fr), jnp.asarray(Fi))
+    T = jax.lax.complex(jnp.asarray(Tr), jnp.asarray(Ti))
+    A = xw.reshape((n1, n2))
+    B = jnp.matmul(F, A.astype(T.dtype),
+                   precision=config.matmul_precision())
+    C = B * T
+    M = rowfft_mag(jnp.real(C), jnp.imag(C), shift=True,
+                   interpret=interpret)
+    # M[k1, k1', k2s] -> flat index (L2*k2s + k1')*n1 + k1 == shifted X.
+    return M.transpose(2, 1, 0).reshape(-1)

@@ -21,6 +21,11 @@ def _shifted_mag(windowed: jnp.ndarray) -> jnp.ndarray:
     n = windowed.shape[-1]
     n1, n2 = fourstep.factor(n)
     if windowed.ndim == 1 and n1 >= 64 and n2 % 2 == 0:
+        from . import config
+        if getattr(config.default_config(), "use_pallas_spectrum", False):
+            from .kernels import spectrum_pallas
+            if spectrum_pallas.supported(n1, n2):
+                return spectrum_pallas.dif_spectrum_mag_pallas(windowed, n1)
         return fourstep.dif_spectrum_mag(windowed, n1)
     return jnp.abs(fft_ops.fft_shifted(windowed))
 

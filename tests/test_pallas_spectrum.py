@@ -1,0 +1,80 @@
+"""Pallas spectrum kernel (kernels/spectrum_pallas.py): interpret-mode
+parity of the fused row-FFT + fftshift + |.| with numpy and with the XLA
+four-step path it replaces (VERDICT r1 #1 — the flagship chain's dominant
+stage).  Realizes fft = plain_fft + fft_shift (time_to_freq.rs:158-165)
+plus magnitude in one kernel."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basic_dsp_tpu.kernels import spectrum_pallas as sp
+from basic_dsp_tpu.ops import fourstep
+
+
+@pytest.mark.parametrize("n1,n2", [(8, 2048), (16, 4096), (4, 1024)])
+def test_rowfft_mag_matches_numpy(n1, n2):
+    rng = np.random.default_rng(0)
+    L2 = n2 // sp.LANES
+    x = (rng.normal(size=(n1, n2)) + 1j * rng.normal(size=(n1, n2))
+         ).astype(np.complex64)
+    ref = np.abs(np.fft.fft(x, axis=-1))
+    M = np.asarray(sp.rowfft_mag(jnp.asarray(x.real), jnp.asarray(x.imag),
+                                 shift=True, interpret=True))
+    rec = np.zeros((n1, n2), np.float32)
+    for k2s in range(sp.LANES):
+        k2 = (k2s + sp.LANES // 2) % sp.LANES
+        rec[:, np.arange(L2) + L2 * k2] = M[:, :, k2s]
+    assert np.max(np.abs(rec - ref)) / np.max(ref) < 2e-6
+
+
+def test_rowfft_mag_no_shift():
+    rng = np.random.default_rng(1)
+    n1, n2 = 8, 2048
+    L2 = n2 // sp.LANES
+    x = (rng.normal(size=(n1, n2)) + 1j * rng.normal(size=(n1, n2))
+         ).astype(np.complex64)
+    ref = np.abs(np.fft.fft(x, axis=-1))
+    M = np.asarray(sp.rowfft_mag(jnp.asarray(x.real), jnp.asarray(x.imag),
+                                 shift=False, interpret=True))
+    rec = np.zeros((n1, n2), np.float32)
+    for k2 in range(sp.LANES):
+        rec[:, np.arange(L2) + L2 * k2] = M[:, :, k2]
+    assert np.max(np.abs(rec - ref)) / np.max(ref) < 2e-6
+
+
+@pytest.mark.parametrize("n", [1 << 16, 1 << 18])
+def test_spectrum_matches_xla_four_step(n):
+    rng = np.random.default_rng(2)
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    xd = jnp.asarray(x)
+    ref = np.asarray(jax.jit(fourstep.dif_spectrum_mag)(xd))
+    got = np.asarray(jax.jit(
+        lambda z: sp.dif_spectrum_mag_pallas(z, interpret=True))(xd))
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 2e-6
+
+
+def test_spectrum_matches_numpy_shifted_fft():
+    n = 1 << 16
+    rng = np.random.default_rng(3)
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    ref = np.abs(np.fft.fftshift(np.fft.fft(x)))
+    got = np.asarray(jax.jit(
+        lambda z: sp.dif_spectrum_mag_pallas(z, interpret=True))(
+            jnp.asarray(x)))
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 2e-6
+
+
+def test_supported_geometry_gate():
+    assert sp.supported(128, 32768)
+    assert not sp.supported(128, 32768 + 128)   # L2 not a power of two
+    assert not sp.supported(128, 192)           # n2 not L2*128 with L2>=2
+
+
+def test_dispatch_gate_default_off():
+    """_shifted_mag stays on the XLA four-step unless the config opts in
+    (the kernel compiles on axon but default dispatch is flipped only
+    after an on-chip win — probe_spectrum.log)."""
+    from basic_dsp_tpu import config
+    assert not getattr(config.default_config(), "use_pallas_spectrum", False)
