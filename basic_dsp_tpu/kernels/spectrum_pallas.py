@@ -135,9 +135,21 @@ def _stockham_axis(ar, ai, L2: int, scratch=None):
 
 
 def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fi_ref,
-                   mag_ref, sra, sia, srb, sib, *, L2, rows):
+                   mag_ref, sra, sia, srb, sib, *, L2, rows,
+                   tw_refs=()):
     gr = br_ref[...].reshape(rows, L2, LANES)
     gi = bi_ref[...].reshape(rows, L2, LANES)
+    if tw_refs:
+        # Big DIF twiddle T[k1, j] = w_N^(k1 j), streamed in as planar
+        # block inputs and applied here — eliminates the separate XLA
+        # C = B*T pass (read B + write C, 64 MB at 4M).  Computing T from
+        # iota cos/sin in-kernel was measured SLOWER (+0.19 ms at 4M: 8M
+        # VPU transcendentals); the HBM read of the precomputed planes
+        # overlaps with the MXU/VPU work instead.
+        tr_ref, ti_ref = tw_refs
+        tr = tr_ref[...].reshape(rows, L2, LANES)
+        ti = ti_ref[...].reshape(rows, L2, LANES)
+        gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
     gr, gi = _stockham_axis(gr, gi, L2, ((sra, sia), (srb, sib)))
     wr = wr_ref[...][None, :, :]
     wi = wi_ref[...][None, :, :]
@@ -156,18 +168,23 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fi_ref,
 
 @functools.partial(jax.jit, static_argnames=("shift", "interpret"))
 def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False, Tr: jnp.ndarray = None,
+               Ti: jnp.ndarray = None) -> jnp.ndarray:
     """|FFT(rows)| (optionally global-fftshift-folded) of planar rows.
 
-    Br, Bi: (n1, n2) f32 planes of the post-stage-1, post-big-twiddle
-    four-step data.  n2 must be L2*128 with L2 a power of two.  Returns
-    (n1, L2, 128) f32 with M[k1, k1', k2s] = |X_row[k1' + L2*((k2s +
-    L2s) % 128)]| — flatten via ``M.transpose(2, 1, 0).reshape(-1)`` for
-    the natural shifted-spectrum order.
+    Br, Bi: (n1, n2) f32 planes of the post-stage-1 four-step data —
+    post-big-twiddle when ``Tr/Ti`` are None, PRE-twiddle otherwise (the
+    kernel then streams the (n1, n2) twiddle planes in as block inputs
+    and applies T itself, saving the separate XLA C = B*T pass).  n2 must
+    be L2*128 with L2 a power of two.  Returns (n1, L2, 128) f32 with
+    M[k1, k1', k2s] = |X_row[k1' + L2*((k2s + L2s) % 128)]| — flatten via
+    ``M.transpose(2, 1, 0).reshape(-1)`` for the natural shifted-spectrum
+    order.
     """
     n1, n2 = Br.shape
     L2 = n2 // LANES
     assert L2 * LANES == n2 and (L2 & (L2 - 1)) == 0, n2
+    fold_tw = Tr is not None
     # Global fftshift: N/2 = n1*n2/2 => k2' roll by 64 when n2/2 is a
     # multiple of ... it lands on the k2' axis iff N/2 = n1*L2*64, i.e.
     # always (N/2 / (n1*L2) = 64).
@@ -191,16 +208,26 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     # 128 MB physical VMEM — raise the per-kernel limit instead of
     # shrinking blocks below MXU-efficient sizes.
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    base = functools.partial(_rowfft_kernel, L2=L2, rows=rows)
+    if fold_tw:
+        def kernel(br, bi, tr, ti, wr, wi, fr, fi, mag, *scr):
+            base(br, bi, wr, wi, fr, fi, mag, *scr, tw_refs=(tr, ti))
+        in_specs = [row_spec] * 4 + [w_spec, w_spec, f_spec, f_spec]
+        args = (Br, Bi, Tr, Ti, Wr, Wi, Fr, Fi)
+    else:
+        kernel = base
+        in_specs = [row_spec, row_spec, w_spec, w_spec, f_spec, f_spec]
+        args = (Br, Bi, Wr, Wi, Fr, Fi)
     return pl.pallas_call(
-        functools.partial(_rowfft_kernel, L2=L2, rows=rows),
+        kernel,
         grid=grid,
-        in_specs=[row_spec, row_spec, w_spec, w_spec, f_spec, f_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n1, L2, LANES), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=params,
         interpret=interpret,
-    )(Br, Bi, Wr, Wi, Fr, Fi)
+    )(*args)
 
 
 def supported(n1: int, n2: int) -> bool:
@@ -210,7 +237,8 @@ def supported(n1: int, n2: int) -> bool:
 
 
 def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            fold_twiddle: bool = False) -> jnp.ndarray:
     """|fftshift(FFT(xw))| — the four-step DIF spectrum with the inner
     batched FFT + twiddle + |.| as the Pallas row-FFT kernel.
 
@@ -226,12 +254,21 @@ def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
     n1, n2 = fourstep.factor(n, n1)
     Fr, Fi, Tr, Ti = fourstep._dif_planes(n1, n2)
     F = jax.lax.complex(jnp.asarray(Fr), jnp.asarray(Fi))
-    T = jax.lax.complex(jnp.asarray(Tr), jnp.asarray(Ti))
     A = xw.reshape((n1, n2))
-    B = jnp.matmul(F, A.astype(T.dtype),
+    B = jnp.matmul(F, A.astype(jnp.complex64),
                    precision=config.matmul_precision())
-    C = B * T
-    M = rowfft_mag(jnp.real(C), jnp.imag(C), shift=True,
-                   interpret=interpret)
+    if fold_twiddle:
+        # Kernel applies T from streamed block inputs.  Measured at 4M:
+        # slightly SLOWER (0.904 vs 0.874 ms chain) than letting XLA fuse
+        # the multiply into the stage-1 matmul epilogue — kept for
+        # runtimes with different fusion behavior.
+        M = rowfft_mag(jnp.real(B), jnp.imag(B), shift=True,
+                       interpret=interpret,
+                       Tr=jnp.asarray(Tr), Ti=jnp.asarray(Ti))
+    else:
+        T = jax.lax.complex(jnp.asarray(Tr), jnp.asarray(Ti))
+        C = B * T
+        M = rowfft_mag(jnp.real(C), jnp.imag(C), shift=True,
+                       interpret=interpret)
     # M[k1, k1', k2s] -> flat index (L2*k2s + k1')*n1 + k1 == shifted X.
     return M.transpose(2, 1, 0).reshape(-1)

@@ -16,25 +16,44 @@ import numpy as np
 
 
 def timed(fn, *args, iters=10):
+    """Per-iteration SLOPE between an ``iters`` and a ``3*iters`` in-jit
+    loop (bench.py discipline): per-call fixed costs — the ~25 ms tunnel
+    round trip, dispatch, scalar fetch — cancel exactly."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def looped(*a):
-        def step(_, carry):
-            # Each config folds `carry` into its *input*, so the body
-            # cannot be hoisted out of the loop; the returned carry is a
-            # tiny scalar derived from the output.
-            out = fn(*a, carry)
-            return (jnp.sum(jnp.abs(out.ravel()[:1]))
-                    .astype(jnp.float32) * jnp.float32(1e-20))
+    def make(k):
+        @jax.jit
+        def looped(*a):
+            def step(_, carry):
+                # Each config folds `carry` into its *input*, so the body
+                # cannot be hoisted out of the loop; the returned carry is
+                # a tiny scalar derived from the output.
+                out = fn(*a, carry)
+                return (jnp.sum(jnp.abs(out.ravel()[:1]))
+                        .astype(jnp.float32) * jnp.float32(1e-20))
 
-        return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, k, step, jnp.float32(0.0))
 
-    float(looped(*args))
-    t0 = time.perf_counter()
-    float(looped(*args))
-    return (time.perf_counter() - t0) / iters
+        return looped
+
+    r1, r3 = make(iters), make(3 * iters)
+    for _ in range(2):
+        float(r1(*args))
+        float(r3(*args))
+
+    def med(r):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(r(*args))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    slope = (med(r3) - med(r1)) / (2 * iters)
+    if slope <= 0:  # tunnel noise: conservative upper bound
+        slope = med(r3) / (3 * iters)
+    return slope
 
 
 def main():

@@ -44,13 +44,14 @@ def test_rowfft_mag_no_shift():
 
 
 @pytest.mark.parametrize("n", [1 << 16, 1 << 18])
-def test_spectrum_matches_xla_four_step(n):
+@pytest.mark.parametrize("fold", [False, True])
+def test_spectrum_matches_xla_four_step(n, fold):
     rng = np.random.default_rng(2)
     x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
     xd = jnp.asarray(x)
     ref = np.asarray(jax.jit(fourstep.dif_spectrum_mag)(xd))
-    got = np.asarray(jax.jit(
-        lambda z: sp.dif_spectrum_mag_pallas(z, interpret=True))(xd))
+    got = np.asarray(jax.jit(lambda z: sp.dif_spectrum_mag_pallas(
+        z, interpret=True, fold_twiddle=fold))(xd))
     assert got.shape == ref.shape
     assert np.max(np.abs(got - ref)) / np.max(ref) < 2e-6
 
