@@ -57,6 +57,14 @@ def _stage_w(half: int, m: int):
 
 
 @functools.lru_cache(maxsize=8)
+def _dft_planes(m: int):
+    """(F_re, F_im) numpy planes of the plain DFT matrix w_m^(k j)."""
+    k = np.arange(m)
+    F = np.exp(-2j * np.pi * np.outer(k, k) / m).astype(np.complex64)
+    return np.ascontiguousarray(F.real), np.ascontiguousarray(F.imag)
+
+
+@functools.lru_cache(maxsize=8)
 def _inner_consts(L2: int, n2: int, shift_cols: int):
     """(Wr, Wi, Fr, Fi) numpy planes: W[k1', j2'] = w_n2^(k1' j2')
     (L2, 128); F[j2', k2'] = w_128^(j2' k2') with output columns rotated
@@ -71,21 +79,35 @@ def _inner_consts(L2: int, n2: int, shift_cols: int):
             np.ascontiguousarray(F.real), np.ascontiguousarray(F.imag))
 
 
-def _stockham_axis(ar, ai, L2: int, scratch=None):
-    """Natural-order mixed radix-4/2 autosort FFT of length L2 along axis
-    -2 of (..., L2, 128) planar planes.  Only whole-sublane slices,
-    elementwise butterflies and axis concatenation — no lane shuffles, no
-    gathers.  Radix-4 halves the stage count (VMEM stack pressure: Mosaic
-    does not reuse stack slots across the stage chain, 16 MB scoped
-    limit); ``scratch`` = ((ra, ia), (rb, ib)) flat VMEM refs to ping-pong
-    stage results through, breaking the SSA liveness chain."""
+def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
+    """Natural-order FFT of length L2 along axis -2 of (..., L2, 128)
+    planar planes: mixed radix-4/2 autosort (Stockham) stages down to
+    sub-transform length m0 = min(L2, 128), then ONE MXU DFT-m0 matmul
+    over the sublane axis to finish.
+
+    Why the matmul finish: running Stockham all the way to m=1 leaves the
+    late stages with tiny sublane extents (m = 4, 2, 1), which Mosaic pads
+    to 8-sublane tiles — measured 0.56 ms for the whole kernel at 4M,
+    slower than XLA's batched FFT.  Stopping at m0=128 keeps every slice
+    tile-shaped and turns the remaining work into full (128, 128) MXU
+    tiles.  Layout: after s stages the c axis holds k mod c (natural low
+    digits); the DFT-m0 output index k_hi then lands as
+    k1' = k_hi * c + c_idx, i.e. einsum('km,bcml->bkcl') + reshape.
+
+    Only whole-sublane slices, elementwise butterflies and axis
+    concatenation — no lane shuffles, no gathers.  ``scratch`` =
+    ((ra, ia), (rb, ib)) flat VMEM refs to ping-pong stage results
+    through, breaking the SSA liveness chain (Mosaic does not reuse stack
+    slots across the stage chain).  ``fm`` = (Fm_re, Fm_im) planes of the
+    (m0, m0) DFT matrix; None falls back to full Stockham (m0 = 1)."""
     B = ar.shape[0]
     c, m = 1, L2
+    m0 = min(L2, 128) if fm is not None else 1
     stage = 0
-    while m > 1:
+    while m > m0:
         arv = ar.reshape(B, c, m, LANES)
         aiv = ai.reshape(B, c, m, LANES)
-        if m % 4 == 0:
+        if m % 4 == 0 and (m0 == 1 or m // 4 >= m0):
             q = m // 4
             a0r, a1r = arv[:, :, :q, :], arv[:, :, q:2 * q, :]
             a2r, a3r = arv[:, :, 2 * q:3 * q, :], arv[:, :, 3 * q:, :]
@@ -122,7 +144,7 @@ def _stockham_axis(ar, ai, L2: int, scratch=None):
             nr = jnp.concatenate([er + orr, dr * wr - di * wi], axis=1)
             ni = jnp.concatenate([ei + oi, dr * wi + di * wr], axis=1)
             c, m = 2 * c, half
-        if scratch is not None and m > 1:
+        if scratch is not None and m > m0:
             rref, iref = scratch[stage % 2]
             rref[...] = nr.reshape(B, L2 * LANES)
             iref[...] = ni.reshape(B, L2 * LANES)
@@ -130,13 +152,31 @@ def _stockham_axis(ar, ai, L2: int, scratch=None):
         else:
             ar, ai = nr, ni
         stage += 1
-    # (B, L2, 1, 128) -> (B, L2, 128); the c axis is the natural-order k1'.
-    return ar.reshape(B, L2, LANES), ai.reshape(B, L2, LANES)
+    if m0 == 1:
+        # (B, L2, 1, 128) -> (B, L2, 128); c axis = natural-order k1'.
+        return ar.reshape(B, L2, LANES), ai.reshape(B, L2, LANES)
+    # MXU finish: plain DFT-m0 over the sublane axis of each (m0, 128)
+    # slice; k1' = k_hi * c + c_idx.  Unrolled per (b, c) slice — plain
+    # 2-D dots are guaranteed Mosaic-lowerable; G = B * c is small.
+    fmr, fmi = fm
+    arv = ar.reshape(B * c, m0, LANES)
+    aiv = ai.reshape(B * c, m0, LANES)
+    outs_r, outs_i = [], []
+    for g in range(B * c):
+        sr, si = arv[g], aiv[g]
+        outs_r.append(_dot_f32(fmr, sr) - _dot_f32(fmi, si))
+        outs_i.append(_dot_f32(fmr, si) + _dot_f32(fmi, sr))
+    er = jnp.stack(outs_r).reshape(B, c, m0, LANES)
+    ei = jnp.stack(outs_i).reshape(B, c, m0, LANES)
+    # (B, c, k_hi, L) -> (B, k_hi, c, L): major-dim permute only.
+    er = jnp.swapaxes(er, 1, 2).reshape(B, L2, LANES)
+    ei = jnp.swapaxes(ei, 1, 2).reshape(B, L2, LANES)
+    return er, ei
 
 
 def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fi_ref,
-                   mag_ref, sra, sia, srb, sib, *, L2, rows,
-                   tw_refs=()):
+                   fmr_ref, fmi_ref, mag_ref, sra, sia, srb, sib, *,
+                   L2, rows, tw_refs=()):
     gr = br_ref[...].reshape(rows, L2, LANES)
     gi = bi_ref[...].reshape(rows, L2, LANES)
     if tw_refs:
@@ -150,7 +190,8 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fi_ref,
         tr = tr_ref[...].reshape(rows, L2, LANES)
         ti = ti_ref[...].reshape(rows, L2, LANES)
         gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
-    gr, gi = _stockham_axis(gr, gi, L2, ((sra, sia), (srb, sib)))
+    gr, gi = _stockham_axis(gr, gi, L2, ((sra, sia), (srb, sib)),
+                            fm=(fmr_ref[...], fmi_ref[...]))
     wr = wr_ref[...][None, :, :]
     wi = wi_ref[...][None, :, :]
     hr = gr * wr - gi * wi
@@ -191,6 +232,8 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     shift_cols = 64 if shift else 0
     Wr, Wi, Fr, Fi = (jnp.asarray(p)
                       for p in _inner_consts(L2, n2, shift_cols))
+    m0 = min(L2, 128)
+    Fmr, Fmi = (jnp.asarray(p) for p in _dft_planes(m0))
     rows = min(ROWS_PER_BLOCK, n1)
     assert n1 % rows == 0
     grid = (n1 // rows,)
@@ -208,16 +251,21 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     # 128 MB physical VMEM — raise the per-kernel limit instead of
     # shrinking blocks below MXU-efficient sizes.
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    fm_spec = pl.BlockSpec((m0, m0), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
     base = functools.partial(_rowfft_kernel, L2=L2, rows=rows)
     if fold_tw:
-        def kernel(br, bi, tr, ti, wr, wi, fr, fi, mag, *scr):
-            base(br, bi, wr, wi, fr, fi, mag, *scr, tw_refs=(tr, ti))
-        in_specs = [row_spec] * 4 + [w_spec, w_spec, f_spec, f_spec]
-        args = (Br, Bi, Tr, Ti, Wr, Wi, Fr, Fi)
+        def kernel(br, bi, tr, ti, wr, wi, fr, fi, fmr, fmi, mag, *scr):
+            base(br, bi, wr, wi, fr, fi, fmr, fmi, mag, *scr,
+                 tw_refs=(tr, ti))
+        in_specs = [row_spec] * 4 + [w_spec, w_spec, f_spec, f_spec,
+                                     fm_spec, fm_spec]
+        args = (Br, Bi, Tr, Ti, Wr, Wi, Fr, Fi, Fmr, Fmi)
     else:
         kernel = base
-        in_specs = [row_spec, row_spec, w_spec, w_spec, f_spec, f_spec]
-        args = (Br, Bi, Wr, Wi, Fr, Fi)
+        in_specs = [row_spec, row_spec, w_spec, w_spec, f_spec, f_spec,
+                    fm_spec, fm_spec]
+        args = (Br, Bi, Wr, Wi, Fr, Fi, Fmr, Fmi)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -61,3 +61,56 @@ def windowed_spectrum(x: jnp.ndarray, window: jnp.ndarray):
     """Config #1: windowed FFT magnitude of a (real or complex) signal."""
     work = x.astype(jnp.result_type(x.dtype, jnp.complex64))
     return _shifted_mag(work * window.astype(work.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "interpret"))
+def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
+                         taps: jnp.ndarray, window: jnp.ndarray,
+                         n1: int = 0, interpret: bool = False):
+    """All-planar flagship chain: centered real-tap FIR + window + shifted
+    FFT magnitude, with complex data carried as (re, im) f32 planes from
+    entry to exit — interleaved complex64 is never materialized.
+
+    Same math as :func:`fir_fft_chain` with real ``taps``, but TPU-faster:
+    complex64 is interleaved on TPU, so every real()/imag()/complex()
+    boundary costs a relayout pass, and a complex-cast FIR runs 4 real
+    Toeplitz matmuls per shift where the planar form needs 2 (the planes
+    convolve independently against real taps).  The spectrum tail is the
+    Pallas fused row-FFT kernel (kernels/spectrum_pallas.py), which is
+    planar-native.
+
+    Mirrors convolution.rs:416-450 (FIR) + time_to_freq.rs:158-165 (fft =
+    plain_fft + fft_shift) + magnitude.
+    """
+    from .kernels import spectrum_pallas
+    from .ops import fourstep
+    from . import config
+
+    n = xr.shape[-1]
+    n1, n2 = fourstep.factor(n, n1)
+    assert spectrum_pallas.supported(n1, n2), (n1, n2)
+    prec = config.matmul_precision()
+    # FIR: the two planes convolve independently against the real taps —
+    # two real Toeplitz matmuls per shift (half the complex-cast MXU
+    # work), no relayout.  Separate per-plane calls, NOT a stacked (2, n)
+    # batch: a leading dim of 2 tiles as 2-of-8 sublanes and every touch
+    # of the batched array runs at 25% efficiency (measured 0.62 ms vs
+    # 0.27 for the complex cast at 4M).
+    tf = taps.astype(xr.dtype)
+    wf = window.astype(xr.dtype)
+    Ar = (conv_ops._toeplitz_body(xr, tf, prec) * wf).reshape(n1, n2)
+    Ai = (conv_ops._toeplitz_body(xi, tf, prec) * wf).reshape(n1, n2)
+    # Stage-1 DFT over rows, explicit plane matmuls.
+    Frn, Fin, Trn, Tin = fourstep._dif_planes(n1, n2)
+    Fr, Fi = jnp.asarray(Frn), jnp.asarray(Fin)
+    Br = (jnp.matmul(Fr, Ar, precision=prec)
+          - jnp.matmul(Fi, Ai, precision=prec))
+    Bi = (jnp.matmul(Fr, Ai, precision=prec)
+          + jnp.matmul(Fi, Ar, precision=prec))
+    # Big twiddle: elementwise on planes, fused into the matmul epilogue.
+    Tr, Ti = jnp.asarray(Trn), jnp.asarray(Tin)
+    Cr = Br * Tr - Bi * Ti
+    Ci = Br * Ti + Bi * Tr
+    from .kernels.spectrum_pallas import rowfft_mag
+    M = rowfft_mag(Cr, Ci, shift=True, interpret=interpret)
+    return M.transpose(2, 1, 0).reshape(-1)

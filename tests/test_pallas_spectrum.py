@@ -12,7 +12,8 @@ from basic_dsp_tpu.kernels import spectrum_pallas as sp
 from basic_dsp_tpu.ops import fourstep
 
 
-@pytest.mark.parametrize("n1,n2", [(8, 2048), (16, 4096), (4, 1024)])
+@pytest.mark.parametrize("n1,n2", [(8, 2048), (16, 4096), (4, 1024),
+                                   (8, 32768), (8, 65536)])
 def test_rowfft_mag_matches_numpy(n1, n2):
     rng = np.random.default_rng(0)
     L2 = n2 // sp.LANES
@@ -79,3 +80,22 @@ def test_dispatch_gate_default_off():
     after an on-chip win — probe_spectrum.log)."""
     from basic_dsp_tpu import config
     assert not getattr(config.default_config(), "use_pallas_spectrum", False)
+
+
+def test_planar_chain_matches_generic_chain():
+    """fir_fft_chain_planar == fir_fft_chain with complex-cast taps (the
+    all-planar flagship path never materializes interleaved complex)."""
+    from basic_dsp_tpu import pipelines
+    n, m = 1 << 16, 128
+    rng = np.random.default_rng(5)
+    xr = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    taps = rng.normal(size=m).astype(np.float32)
+    taps /= np.abs(taps).sum()
+    window = jnp.asarray(np.hamming(n).astype(np.float32))
+    ref = np.asarray(pipelines.fir_fft_chain(
+        xr + 1j * xi, jnp.asarray(taps.astype(np.complex64)), window))
+    got = np.asarray(pipelines.fir_fft_chain_planar(
+        xr, xi, jnp.asarray(taps), window, interpret=True))
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 2e-6
