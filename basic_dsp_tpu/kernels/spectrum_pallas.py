@@ -58,10 +58,17 @@ def _stage_w(half: int, m: int):
 
 @functools.lru_cache(maxsize=8)
 def _dft_planes(m: int):
-    """(F_re, F_im) numpy planes of the plain DFT matrix w_m^(k j)."""
+    """3-mult planes of the plain DFT matrix w_m^(k j) for the LEFT-
+    constant Karatsuba complex matmul (C @ d, C = Fr + i Fi constant):
+        k1 = Fr @ (dr + di); k2 = (Fi - Fr) @ dr; k3 = (Fi + Fr) @ di
+        Re = k1 - k3, Im = k1 + k2
+    — 3 MXU dots instead of 4 (the DFT finish is one of the two dominant
+    matmul costs in the kernel).  Returns (Fr, Fi+Fr, Fi-Fr)."""
     k = np.arange(m)
     F = np.exp(-2j * np.pi * np.outer(k, k) / m).astype(np.complex64)
-    return np.ascontiguousarray(F.real), np.ascontiguousarray(F.imag)
+    fr = np.ascontiguousarray(F.real)
+    fi = np.ascontiguousarray(F.imag)
+    return fr, fi + fr, fi - fr
 
 
 @functools.lru_cache(maxsize=8)
@@ -75,8 +82,13 @@ def _inner_consts(L2: int, n2: int, shift_cols: int):
     k2 = (np.arange(LANES) + shift_cols) % LANES
     F = np.exp(-2j * np.pi * np.outer(np.arange(LANES), k2) / LANES
                ).astype(np.complex64)
+    # RIGHT-constant Karatsuba planes (d @ C):
+    #   k1 = (dr + di) @ Fr; k2 = dr @ (Fi - Fr); k3 = di @ (Fr + Fi)
+    #   Re = k1 - k3, Im = k1 + k2
+    fr = np.ascontiguousarray(F.real)
+    fi = np.ascontiguousarray(F.imag)
     return (np.ascontiguousarray(W.real), np.ascontiguousarray(W.imag),
-            np.ascontiguousarray(F.real), np.ascontiguousarray(F.imag))
+            fr, fi - fr, fr + fi)
 
 
 def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
@@ -158,14 +170,18 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
     # MXU finish: plain DFT-m0 over the sublane axis of each (m0, 128)
     # slice; k1' = k_hi * c + c_idx.  Unrolled per (b, c) slice — plain
     # 2-D dots are guaranteed Mosaic-lowerable; G = B * c is small.
-    fmr, fmi = fm
+    # 3-mult complex matmul (see _dft_planes): 3 dots/slice, not 4.
+    fmr, fmp, fmm = fm
     arv = ar.reshape(B * c, m0, LANES)
     aiv = ai.reshape(B * c, m0, LANES)
     outs_r, outs_i = [], []
     for g in range(B * c):
         sr, si = arv[g], aiv[g]
-        outs_r.append(_dot_f32(fmr, sr) - _dot_f32(fmi, si))
-        outs_i.append(_dot_f32(fmr, si) + _dot_f32(fmi, sr))
+        k1 = _dot_f32(fmr, sr + si)
+        k2 = _dot_f32(fmm, sr)
+        k3 = _dot_f32(fmp, si)
+        outs_r.append(k1 - k3)
+        outs_i.append(k1 + k2)
     er = jnp.stack(outs_r).reshape(B, c, m0, LANES)
     ei = jnp.stack(outs_i).reshape(B, c, m0, LANES)
     # (B, c, k_hi, L) -> (B, k_hi, c, L): major-dim permute only.
@@ -174,9 +190,9 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
     return er, ei
 
 
-def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fi_ref,
-                   fmr_ref, fmi_ref, mag_ref, sra, sia, srb, sib, *,
-                   L2, rows, tw_refs=()):
+def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
+                   fmr_ref, fmp_ref, fmm_ref, mag_ref, sra, sia, srb, sib,
+                   *, L2, rows, tw_refs=()):
     gr = br_ref[...].reshape(rows, L2, LANES)
     gi = bi_ref[...].reshape(rows, L2, LANES)
     if tw_refs:
@@ -191,19 +207,21 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fi_ref,
         ti = ti_ref[...].reshape(rows, L2, LANES)
         gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
     gr, gi = _stockham_axis(gr, gi, L2, ((sra, sia), (srb, sib)),
-                            fm=(fmr_ref[...], fmi_ref[...]))
+                            fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]))
     wr = wr_ref[...][None, :, :]
     wi = wi_ref[...][None, :, :]
     hr = gr * wr - gi * wi
     hi = gr * wi + gi * wr
     # Lane-crossing DFT-128 on the MXU: flatten rows*L2 into the matmul's
-    # contraction-free dimension.
+    # contraction-free dimension.  3-mult complex matmul (right-constant
+    # Karatsuba planes from _inner_consts): 3 dots instead of 4.
     hr2 = hr.reshape(rows * L2, LANES)
     hi2 = hi.reshape(rows * L2, LANES)
-    Fr = fr_ref[...]
-    Fi = fi_ref[...]
-    dr = _dot_f32(hr2, Fr) - _dot_f32(hi2, Fi)
-    di = _dot_f32(hr2, Fi) + _dot_f32(hi2, Fr)
+    k1 = _dot_f32(hr2 + hi2, fr_ref[...])
+    k2 = _dot_f32(hr2, fm_ref[...])
+    k3 = _dot_f32(hi2, fp_ref[...])
+    dr = k1 - k3
+    di = k1 + k2
     mag_ref[...] = jnp.sqrt(dr * dr + di * di).reshape(rows, L2, LANES)
 
 
@@ -230,10 +248,10 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     # multiple of ... it lands on the k2' axis iff N/2 = n1*L2*64, i.e.
     # always (N/2 / (n1*L2) = 64).
     shift_cols = 64 if shift else 0
-    Wr, Wi, Fr, Fi = (jnp.asarray(p)
-                      for p in _inner_consts(L2, n2, shift_cols))
+    Wr, Wi, Fr, Fm, Fp = (jnp.asarray(p)
+                          for p in _inner_consts(L2, n2, shift_cols))
     m0 = min(L2, 128)
-    Fmr, Fmi = (jnp.asarray(p) for p in _dft_planes(m0))
+    Fmr, Fmp, Fmm = (jnp.asarray(p) for p in _dft_planes(m0))
     rows = min(ROWS_PER_BLOCK, n1)
     assert n1 % rows == 0
     grid = (n1 // rows,)
@@ -255,17 +273,18 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                            memory_space=pltpu.VMEM)
     base = functools.partial(_rowfft_kernel, L2=L2, rows=rows)
     if fold_tw:
-        def kernel(br, bi, tr, ti, wr, wi, fr, fi, fmr, fmi, mag, *scr):
-            base(br, bi, wr, wi, fr, fi, fmr, fmi, mag, *scr,
+        def kernel(br, bi, tr, ti, wr, wi, fr, fm, fp, fmr, fmp, fmm,
+                   mag, *scr):
+            base(br, bi, wr, wi, fr, fm, fp, fmr, fmp, fmm, mag, *scr,
                  tw_refs=(tr, ti))
         in_specs = [row_spec] * 4 + [w_spec, w_spec, f_spec, f_spec,
-                                     fm_spec, fm_spec]
-        args = (Br, Bi, Tr, Ti, Wr, Wi, Fr, Fi, Fmr, Fmi)
+                                     f_spec, fm_spec, fm_spec, fm_spec]
+        args = (Br, Bi, Tr, Ti, Wr, Wi, Fr, Fm, Fp, Fmr, Fmp, Fmm)
     else:
         kernel = base
         in_specs = [row_spec, row_spec, w_spec, w_spec, f_spec, f_spec,
-                    fm_spec, fm_spec]
-        args = (Br, Bi, Wr, Wi, Fr, Fi, Fmr, Fmi)
+                    f_spec, fm_spec, fm_spec, fm_spec]
+        args = (Br, Bi, Wr, Wi, Fr, Fm, Fp, Fmr, Fmp, Fmm)
     return pl.pallas_call(
         kernel,
         grid=grid,
