@@ -44,9 +44,21 @@ class DspConfig:
     # (CLAUDE.md); enable on standard TPU runtimes after re-testing.
     use_pallas_overlap_save: bool = False
     # Pallas fused row-FFT + fftshift + |.| for the four-step spectrum
-    # (kernels/spectrum_pallas.py).  Compiles and matches on axon
-    # (probe_spectrum.log); gated per-geometry by spectrum_pallas.supported.
-    use_pallas_spectrum: bool = False
+    # (kernels/spectrum_pallas.py).  ON by default on TPU backends since
+    # the MXU DFT finish + 3-mult complex dots made it beat the XLA tail
+    # on-chip (probe_spectrum.log: 0.722 vs 0.861 ms at 4M, parity
+    # 3.5e-7); gated per-geometry by spectrum_pallas.supported, and
+    # non-TPU backends keep the XLA path (Mosaic targets TPU).
+    use_pallas_spectrum: bool = None  # None = auto (on iff TPU backend)
+
+    def pallas_spectrum_enabled(self) -> bool:
+        if self.use_pallas_spectrum is not None:
+            return self.use_pallas_spectrum
+        import jax
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except Exception:  # backend init failure: stay conservative
+            return False
 
 
 _default_config = DspConfig()

@@ -168,26 +168,53 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
         # (B, L2, 1, 128) -> (B, L2, 128); c axis = natural-order k1'.
         return ar.reshape(B, L2, LANES), ai.reshape(B, L2, LANES)
     # MXU finish: plain DFT-m0 over the sublane axis of each (m0, 128)
-    # slice; k1' = k_hi * c + c_idx.  Unrolled per (b, c) slice — plain
-    # 2-D dots are guaranteed Mosaic-lowerable; G = B * c is small.
-    # 3-mult complex matmul (see _dft_planes): 3 dots/slice, not 4.
+    # slice; k1' = k_hi * c + c_idx.  All G = B*c slices are concatenated
+    # along LANES into one (m0, G*128) operand so each DFT plane is a
+    # single wide dot — per-slice (128,128)@(128,128) dots pay the MXU
+    # weight-load latency G times over.
+    # 3-mult complex matmul (see _dft_planes): 3 dots total, not 4*G.
     fmr, fmp, fmm = fm
-    arv = ar.reshape(B * c, m0, LANES)
-    aiv = ai.reshape(B * c, m0, LANES)
-    outs_r, outs_i = [], []
-    for g in range(B * c):
-        sr, si = arv[g], aiv[g]
-        k1 = _dot_f32(fmr, sr + si)
-        k2 = _dot_f32(fmm, sr)
-        k3 = _dot_f32(fmp, si)
-        outs_r.append(k1 - k3)
-        outs_i.append(k1 + k2)
+    G = B * c
+    arv = ar.reshape(G, m0, LANES)
+    aiv = ai.reshape(G, m0, LANES)
+    cat_r = jnp.concatenate([arv[g] for g in range(G)], axis=-1)
+    cat_i = jnp.concatenate([aiv[g] for g in range(G)], axis=-1)
+    k1 = _dot_f32(fmr, cat_r + cat_i)
+    k2 = _dot_f32(fmm, cat_r)
+    k3 = _dot_f32(fmp, cat_i)
+    ec_r = k1 - k3
+    ec_i = k1 + k2
+    outs_r = [ec_r[:, g * LANES:(g + 1) * LANES] for g in range(G)]
+    outs_i = [ec_i[:, g * LANES:(g + 1) * LANES] for g in range(G)]
     er = jnp.stack(outs_r).reshape(B, c, m0, LANES)
     ei = jnp.stack(outs_i).reshape(B, c, m0, LANES)
     # (B, c, k_hi, L) -> (B, k_hi, c, L): major-dim permute only.
     er = jnp.swapaxes(er, 1, 2).reshape(B, L2, LANES)
     ei = jnp.swapaxes(ei, 1, 2).reshape(B, L2, LANES)
     return er, ei
+
+
+def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
+                 fmr_ref, fmp_ref, fmm_ref, mag_ref, scratch, *, L2, rows):
+    """Shared kernel tail: Stockham+MXU row FFT, inner twiddle W, lane
+    DFT-128 (with the fftshift column rotation folded), magnitude."""
+    gr, gi = _stockham_axis(gr, gi, L2, scratch,
+                            fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]))
+    wr = wr_ref[...][None, :, :]
+    wi = wi_ref[...][None, :, :]
+    hr = gr * wr - gi * wi
+    hi = gr * wi + gi * wr
+    # Lane-crossing DFT-128 on the MXU: flatten rows*L2 into the matmul's
+    # contraction-free dimension.  3-mult complex matmul (right-constant
+    # Karatsuba planes from _inner_consts): 3 dots instead of 4.
+    hr2 = hr.reshape(rows * L2, LANES)
+    hi2 = hi.reshape(rows * L2, LANES)
+    k1 = _dot_f32(hr2 + hi2, fr_ref[...])
+    k2 = _dot_f32(hr2, fm_ref[...])
+    k3 = _dot_f32(hi2, fp_ref[...])
+    dr = k1 - k3
+    di = k1 + k2
+    mag_ref[...] = jnp.sqrt(dr * dr + di * di).reshape(rows, L2, LANES)
 
 
 def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
@@ -206,23 +233,59 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
         tr = tr_ref[...].reshape(rows, L2, LANES)
         ti = ti_ref[...].reshape(rows, L2, LANES)
         gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
-    gr, gi = _stockham_axis(gr, gi, L2, ((sra, sia), (srb, sib)),
-                            fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]))
-    wr = wr_ref[...][None, :, :]
-    wi = wi_ref[...][None, :, :]
-    hr = gr * wr - gi * wi
-    hi = gr * wi + gi * wr
-    # Lane-crossing DFT-128 on the MXU: flatten rows*L2 into the matmul's
-    # contraction-free dimension.  3-mult complex matmul (right-constant
-    # Karatsuba planes from _inner_consts): 3 dots instead of 4.
-    hr2 = hr.reshape(rows * L2, LANES)
-    hi2 = hi.reshape(rows * L2, LANES)
-    k1 = _dot_f32(hr2 + hi2, fr_ref[...])
-    k2 = _dot_f32(hr2, fm_ref[...])
-    k3 = _dot_f32(hi2, fp_ref[...])
-    dr = k1 - k3
-    di = k1 + k2
-    mag_ref[...] = jnp.sqrt(dr * dr + di * di).reshape(rows, L2, LANES)
+    _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
+                 fmr_ref, fmp_ref, fmm_ref, mag_ref,
+                 ((sra, sia), (srb, sib)), L2=L2, rows=rows)
+
+
+def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
+                  f1r_ref, f1m_ref, f1p_ref,
+                  wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
+                  fmr_ref, fmp_ref, fmm_ref, mag_ref,
+                  bre, bim, pr, pi, sra, sia, srb, sib, dsem,
+                  *, L2, rows, n1, n2, panel):
+    """Four-step spectrum with stage 1 *inside* the kernel: B = F1 @ A
+    never round-trips HBM.  A stays in HBM (memory_space=ANY) and is
+    DMA'd in (n1, panel) column panels during grid step 0; the stage-1
+    3-mult dots write the result into a persistent (n1, n2) VMEM scratch
+    that later grid steps slice rows from (TPU grid steps run
+    sequentially on the core, so step-0 writes are visible).  Saves the
+    64 MB B write+read of the XLA-stage-1 layout at 4M.
+
+    MEASURED SLOWER on v5e (0.778 vs 0.559 ms chain at 4M): the step-0
+    DMA chain is serial (start->wait per panel, no double buffering) and
+    nothing overlaps it, which costs more than the saved HBM round trip.
+    Kept as a gated experiment — a double-buffered variant is the obvious
+    next step if the HBM bound ever becomes the chain's limiter again."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _stage1():
+        f1r, f1m, f1p = f1r_ref[...], f1m_ref[...], f1p_ref[...]
+        for p in range(n2 // panel):
+            sl = pl.ds(p * panel, panel)
+            cr = pltpu.make_async_copy(ar_hbm.at[:, sl], pr, dsem)
+            cr.start()
+            cr.wait()
+            ci = pltpu.make_async_copy(ai_hbm.at[:, sl], pi, dsem)
+            ci.start()
+            ci.wait()
+            a_r, a_i = pr[...], pi[...]
+            k1 = _dot_f32(f1r, a_r + a_i)
+            k2 = _dot_f32(f1m, a_r)
+            k3 = _dot_f32(f1p, a_i)
+            bre[:, sl] = k1 - k3
+            bim[:, sl] = k1 + k2
+
+    rsl = pl.ds(i * rows, rows)
+    gr = bre[rsl, :].reshape(rows, L2, LANES)
+    gi = bim[rsl, :].reshape(rows, L2, LANES)
+    tr = tr_ref[...].reshape(rows, L2, LANES)
+    ti = ti_ref[...].reshape(rows, L2, LANES)
+    gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
+    _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
+                 fmr_ref, fmp_ref, fmm_ref, mag_ref,
+                 ((sra, sia), (srb, sib)), L2=L2, rows=rows)
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "interpret"))
@@ -295,6 +358,71 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
         compiler_params=params,
         interpret=interpret,
     )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "interpret"))
+def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
+                       shift: bool = True,
+                       interpret: bool = False) -> jnp.ndarray:
+    """|fftshift(FFT)| of the (n1, n2)-reshaped planar signal with BOTH
+    four-step stages inside one Pallas kernel: stage-1 DFT (3-mult MXU
+    dots over HBM-DMA'd column panels into a persistent VMEM scratch),
+    big twiddle (streamed row blocks), row FFT, shift, magnitude.  Takes
+    the post-FIR windowed planes ALREADY reshaped to (n1, n2); returns
+    (n1, L2, 128) magnitudes (same layout contract as rowfft_mag)."""
+    n1, n2 = Ar.shape
+    L2 = n2 // LANES
+    assert L2 * LANES == n2 and (L2 & (L2 - 1)) == 0, n2
+    assert n1 % 8 == 0, n1
+    from ..ops import fourstep
+    F1r, F1i, Tr, Ti = fourstep._dif_planes(n1, n2)
+    f1r = jnp.asarray(F1r)
+    f1m = jnp.asarray(F1i - F1r)
+    f1p = jnp.asarray(F1i + F1r)
+    shift_cols = 64 if shift else 0
+    Wr, Wi, Fr, Fm, Fp = (jnp.asarray(p)
+                          for p in _inner_consts(L2, n2, shift_cols))
+    m0 = min(L2, 128)
+    Fmr, Fmp, Fmm = (jnp.asarray(p) for p in _dft_planes(m0))
+    rows = min(ROWS_PER_BLOCK, n1)
+    assert n1 % rows == 0
+    grid = (n1 // rows,)
+    panel = min(n2, 8192)
+    assert n2 % panel == 0
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    row_spec = pl.BlockSpec((rows, n2), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((L2, LANES), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    f1_spec = pl.BlockSpec((n1, n1), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    fm_spec = pl.BlockSpec((m0, m0), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rows, L2, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = ([pltpu.VMEM((n1, n2), jnp.float32)] * 2      # B planes
+               + [pltpu.VMEM((n1, panel), jnp.float32)] * 2  # DMA panels
+               + [pltpu.VMEM((rows, n2), jnp.float32)] * 4   # ping-pong
+               + [pltpu.SemaphoreType.DMA])
+    params = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
+    kernel = functools.partial(_fused_kernel, L2=L2, rows=rows,
+                               n1=n1, n2=n2, panel=panel)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[any_spec, any_spec, row_spec, row_spec,
+                  f1_spec, f1_spec, f1_spec,
+                  w_spec, w_spec, f_spec, f_spec, f_spec,
+                  fm_spec, fm_spec, fm_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n1, L2, LANES), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=params,
+        interpret=interpret,
+    )(Ar, Ai, jnp.asarray(Tr), jnp.asarray(Ti),
+      f1r, f1m, f1p, Wr, Wi, Fr, Fm, Fp, Fmr, Fmp, Fmm)
 
 
 def supported(n1: int, n2: int) -> bool:

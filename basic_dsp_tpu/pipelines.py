@@ -22,7 +22,7 @@ def _shifted_mag(windowed: jnp.ndarray) -> jnp.ndarray:
     n1, n2 = fourstep.factor(n)
     if windowed.ndim == 1 and n1 >= 64 and n2 % 2 == 0:
         from . import config
-        if getattr(config.default_config(), "use_pallas_spectrum", False):
+        if config.default_config().pallas_spectrum_enabled():
             from .kernels import spectrum_pallas
             if spectrum_pallas.supported(n1, n2):
                 return spectrum_pallas.dif_spectrum_mag_pallas(windowed, n1)
@@ -63,10 +63,11 @@ def windowed_spectrum(x: jnp.ndarray, window: jnp.ndarray):
     return _shifted_mag(work * window.astype(work.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n1", "interpret", "fused"))
 def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
                          taps: jnp.ndarray, window: jnp.ndarray,
-                         n1: int = 0, interpret: bool = False):
+                         n1: int = 0, interpret: bool = False,
+                         fused: bool = False):
     """All-planar flagship chain: centered real-tap FIR + window + shifted
     FFT magnitude, with complex data carried as (re, im) f32 planes from
     entry to exit — interleaved complex64 is never materialized.
@@ -100,6 +101,12 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     wf = window.astype(xr.dtype)
     Ar = (conv_ops._toeplitz_body(xr, tf, prec) * wf).reshape(n1, n2)
     Ai = (conv_ops._toeplitz_body(xi, tf, prec) * wf).reshape(n1, n2)
+    if fused:
+        # Stage 1 + twiddle + row FFT + shift + |.| all inside the Pallas
+        # kernel; B never round-trips HBM (spectrum_pallas._fused_kernel).
+        M = spectrum_pallas.fourstep_mag_fused(Ar, Ai, shift=True,
+                                               interpret=interpret)
+        return M.transpose(2, 1, 0).reshape(-1)
     # Stage-1 DFT over rows, explicit plane matmuls — 3-mult (Karatsuba)
     # complex form with the left constant F: 3 MXU dots instead of 4
     # (k1 = Fr(Ar+Ai), k2 = (Fi-Fr)Ar, k3 = (Fi+Fr)Ai; B = k1-k3, k1+k2).

@@ -72,10 +72,16 @@ def main():
                                        "highest")
         return outr[0] + outi[0]
 
+    def chain_fused64(xr, xi, fb):
+        return pipelines.fir_fft_chain_planar.__wrapped__(
+            xr * (1.0 + fb * 1e-30), xi, taps_re, window, n1=64,
+            fused=True)[0]
+
     variants = {
         "conv_planar": conv_planar,
         "CHAIN_planar": chain_planar,
         "CHAIN_planar64": chain_planar64,
+        "CHAIN_fused64": chain_fused64,
         "CHAIN_complex": chain_complex,
     }
     which = sys.argv[1:] or list(variants)

@@ -74,12 +74,20 @@ def test_supported_geometry_gate():
     assert not sp.supported(128, 192)           # n2 not L2*128 with L2>=2
 
 
-def test_dispatch_gate_default_off():
-    """_shifted_mag stays on the XLA four-step unless the config opts in
-    (the kernel compiles on axon but default dispatch is flipped only
-    after an on-chip win — probe_spectrum.log)."""
+def test_dispatch_gate_auto():
+    """The Pallas spectrum gate is auto: ON on TPU backends (on-chip win,
+    probe_spectrum.log: 0.722 vs 0.861 ms at 4M after the MXU DFT finish
+    + 3-mult dots), OFF elsewhere (Mosaic targets TPU; these CPU tests
+    must see it disabled), and an explicit config value overrides."""
+    import dataclasses
+
     from basic_dsp_tpu import config
-    assert not getattr(config.default_config(), "use_pallas_spectrum", False)
+    cfg = config.default_config()
+    assert cfg.use_pallas_spectrum is None  # auto
+    assert not cfg.pallas_spectrum_enabled()  # CPU test backend -> off
+    on = dataclasses.replace(cfg, use_pallas_spectrum=True)
+    off = dataclasses.replace(cfg, use_pallas_spectrum=False)
+    assert on.pallas_spectrum_enabled() and not off.pallas_spectrum_enabled()
 
 
 def test_planar_chain_matches_generic_chain():
