@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import conv_ops, fft_ops, reorg_ops
+from .. import config
 
 
 def interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
@@ -91,6 +92,78 @@ def _interpolatef_gather(x, fun, factor, delay, L, new_points):
     return jnp.sum(windows * w, axis=-1)
 
 
+def _interpolatef_direct(x, taps, P, Q, offs, L, out_len):
+    """Single-matmul polyphase resampler: the per-phase Toeplitz
+    correlations AND the phase interleave / stride-``Q`` decimation of the
+    two-stage path (:func:`_phase_correlations` + ``reorg_ops.phase_mux``)
+    composed into ONE static banded matrix::
+
+        out[i] = sum_t x[((i//P)*Q + offs[i%P] + t - L) mod n]
+                       * taps[i%P, t]
+
+    For an output block of ``B = 128*P`` consecutive samples the input
+    window spans ``W = 128*(Q + ceil(2L/128))`` contiguous (circularly
+    extended) samples, so the whole resampler is ``windows (nb, W) @
+    M (W, B)`` — no (P, n) intermediate, ~3x less HBM traffic and ~5x
+    less MXU work than correlate-then-mux (profile_interp.py; mirrors the
+    reference's per-phase SIMD loop interpolation.rs:191-290 collapsed
+    into its selector).
+
+    Complex signals with real taps run as two independent real planes
+    (separate calls measured faster than a stacked (2, n) batch,
+    profile_interp.py planar2 vs planar).
+    """
+    n = x.shape[-1]
+    if jnp.iscomplexobj(x):
+        re = _interpolatef_direct(jnp.real(x), taps, P, Q, offs, L, out_len)
+        im = _interpolatef_direct(jnp.imag(x), taps, P, Q, offs, L, out_len)
+        return jax.lax.complex(re, im)
+    B = 128 * P
+    span = 128 * Q
+    W = 128 * (Q + -(-2 * L // 128))
+    nb = -(-out_len // B)
+    # Circular extension ext[i] = x[(i - L) mod n], long enough for the
+    # last window (plus one spare span so every 128-row slice below is in
+    # range), built from slices (no roll/tile; cf. conv_ops._toeplitz_body).
+    need = nb * span + W
+    k = L % n
+    pieces = [x[..., n - k:]] if k else []
+    remaining = need - k
+    while remaining > 0:
+        take = min(remaining, n)
+        pieces.append(x[..., :take])
+        remaining -= take
+    ext = jnp.concatenate(pieces, axis=-1)
+    # Overlapping windows (nb, W) from W/128 shifted contiguous reshapes:
+    # window_b = ext[b*span : b*span + W]; 128-wide column group g of it is
+    # ext[128g + b*span : ...+128] = the leading 128 lanes of span-block b
+    # of ext shifted by 128g.
+    parts = [
+        ext[..., 128 * g: 128 * g + nb * span]
+        .reshape(x.shape[:-1] + (nb, span))[..., :128]
+        for g in range(W // 128)
+    ]
+    windows = jnp.concatenate(parts, axis=-1)
+    # Static band matrix M[w, j] = taps[j % P, t] at w = (j//P)*Q +
+    # offs[j%P] + t.
+    j = np.arange(B)
+    t = np.arange(taps.shape[-1])
+    jj, tt = np.meshgrid(j, t, indexing="ij")
+    pp = jj % P
+    ww = (jj // P) * Q + np.asarray(offs)[pp] + tt
+    M = jnp.zeros((W, B), dtype=x.dtype).at[ww.ravel(), jj.ravel()].set(
+        taps[pp.ravel(), tt.ravel()].astype(x.dtype))
+    out = jnp.matmul(windows, M, precision=config.matmul_precision())
+    return out.reshape(x.shape[:-1] + (nb * B,))[..., :out_len]
+
+
+def _direct_eligible(taps, P, Q, L):
+    """Gate for :func:`_interpolatef_direct`: real taps and a composed
+    matrix small enough to stay cheap (W*B elements; 16 MB f32 cap)."""
+    W = 128 * (Q + -(-2 * L // 128))
+    return (not jnp.iscomplexobj(taps)) and W * 128 * P <= (1 << 22)
+
+
 def _phase_correlations(x, taps):
     """Per-phase circular correlations ``out_p[q] = sum_s x[(q+s) mod n] *
     taps_p[s+L]`` as ONE batched MXU Toeplitz contraction with the
@@ -120,6 +193,12 @@ def _interpolatef_integer_spectral(x, fun, factor, delay, L):
     p = xp.arange(factor, dtype=rdtype)
     taps = jnp.asarray(
         fun.calc(s[None, :] - p[:, None] / factor + delay))  # (F, 2L+1)
+    if _direct_eligible(taps, factor, 1, L):
+        out = _interpolatef_direct(x, taps, factor, 1, (0,) * factor, L,
+                                   factor * n)
+        if not jnp.iscomplexobj(x):
+            return jnp.real(out).astype(x.dtype)
+        return out
     corr = _phase_correlations(x, taps)        # (..., F, n)
     # Phase interleave via the MXU mux (Q=1, no decimation): a plain
     # stack(-1).reshape interleave relayouts through a minor dim of F and
@@ -152,6 +231,12 @@ def _interpolatef_rational_spectral(x, fun, P, Q, delay, L):
     taps = jnp.asarray(
         fun.calc(s[None, :] - xp.asarray(fracs, dtype=rdtype)[:, None]
                  + delay))                                    # (P, 2L+1)
+    if _direct_eligible(taps, P, Q, L):
+        out = _interpolatef_direct(x, taps, P, Q, tuple(int(o) for o in offs),
+                                   L, n * P // Q)
+        if not jnp.iscomplexobj(x):
+            return jnp.real(out).astype(x.dtype)
+        return out
     corr = _phase_correlations(x, taps)        # (..., P, n)
     k_count = n // Q
     # out[k*P + p] = corr_p[k*Q + offs[p]]: fused interleave + stride-Q
