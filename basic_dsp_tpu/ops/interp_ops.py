@@ -134,34 +134,61 @@ def _interpolatef_direct(x, taps, P, Q, offs, L, out_len):
         pieces.append(x[..., :take])
         remaining -= take
     ext = jnp.concatenate(pieces, axis=-1)
-    # Overlapping windows (nb, W) from W/128 shifted contiguous reshapes:
-    # window_b = ext[b*span : b*span + W]; 128-wide column group g of it is
-    # ext[128g + b*span : ...+128] = the leading 128 lanes of span-block b
-    # of ext shifted by 128g.
-    parts = [
-        ext[..., 128 * g: 128 * g + nb * span]
-        .reshape(x.shape[:-1] + (nb, span))[..., :128]
-        for g in range(W // 128)
-    ]
-    windows = jnp.concatenate(parts, axis=-1)
     # Static band matrix M[w, j] = taps[j % P, t] at w = (j//P)*Q +
-    # offs[j%P] + t.
+    # offs[j%P] + t.  Built ON THE HOST in numpy: taps are always concrete
+    # (they depend only on static resampler parameters, never on traced
+    # data — fun.calc runs eagerly even under an enclosing user jit), and
+    # a device-side ``.at[].set`` scatter here can end up INSIDE the
+    # compiled program and cost ~0.15 ms per call (measured, cfg4 shape).
+    taps_np = np.asarray(jax.device_get(taps))
     j = np.arange(B)
-    t = np.arange(taps.shape[-1])
+    t = np.arange(taps_np.shape[-1])
     jj, tt = np.meshgrid(j, t, indexing="ij")
     pp = jj % P
     ww = (jj // P) * Q + np.asarray(offs)[pp] + tt
-    M = jnp.zeros((W, B), dtype=x.dtype).at[ww.ravel(), jj.ravel()].set(
-        taps[pp.ravel(), tt.ravel()].astype(x.dtype))
-    out = jnp.matmul(windows, M, precision=config.matmul_precision())
+    M_np = np.zeros((W, B), dtype=taps_np.dtype)
+    M_np[ww.ravel(), jj.ravel()] = taps_np[pp.ravel(), tt.ravel()]
+    M = jnp.asarray(M_np.astype(np.dtype(x.dtype)))
+    precision = config.matmul_precision()
+    # Column group g of window_b = ext[b*span : b*span + W] is
+    # ext[128g + b*span : ...+128] — the leading 128 lanes of span-block b
+    # of ext shifted by 128g.  Two equivalent spellings, chosen by shape
+    # (A/B-measured on v5e, profile_mod2.py / commit log):
+    #  - Q == 1 (integer factors; span == 128, groups fully contiguous):
+    #    shift-accumulate `sum_g part_g @ M_g` behind an optimization
+    #    barrier — 0.045 vs 0.249 ms at n=131k, P=10 (XLA fuses the
+    #    window concat INTO the matmul with a pathological access
+    #    pattern unless barred).
+    #  - Q > 1: one materialized (nb, W) windows matmul — 0.041 vs
+    #    0.105 ms at n=1M, P=3, Q=2.
+    if Q == 1:
+        ext = jax.lax.optimization_barrier(ext)
+        out = None
+        for g in range(W // 128):
+            part = (ext[..., 128 * g: 128 * g + nb * span]
+                    .reshape(x.shape[:-1] + (nb, span))[..., :128])
+            term = jnp.matmul(part, M[128 * g: 128 * (g + 1)],
+                              precision=precision)
+            out = term if out is None else out + term
+    else:
+        parts = [
+            ext[..., 128 * g: 128 * g + nb * span]
+            .reshape(x.shape[:-1] + (nb, span))[..., :128]
+            for g in range(W // 128)
+        ]
+        windows = jnp.concatenate(parts, axis=-1)
+        out = jnp.matmul(windows, M, precision=precision)
     return out.reshape(x.shape[:-1] + (nb * B,))[..., :out_len]
 
 
 def _direct_eligible(taps, P, Q, L):
-    """Gate for :func:`_interpolatef_direct`: real taps and a composed
-    matrix small enough to stay cheap (W*B elements; 16 MB f32 cap)."""
+    """Gate for :func:`_interpolatef_direct`: concrete (host-fetchable)
+    real taps and a composed matrix small enough to stay cheap (W*B
+    elements; 16 MB f32 cap)."""
     W = 128 * (Q + -(-2 * L // 128))
-    return (not jnp.iscomplexobj(taps)) and W * 128 * P <= (1 << 22)
+    return (not isinstance(taps, jax.core.Tracer)
+            and not jnp.iscomplexobj(taps)
+            and W * 128 * P <= (1 << 22))
 
 
 def _phase_correlations(x, taps):
@@ -189,10 +216,16 @@ def _interpolatef_integer_spectral(x, fun, factor, delay, L):
     n = x.shape[-1]
     xp = np if getattr(fun, "_no_jit", False) else jnp
     rdtype = np.float64 if xp is np else jnp.zeros((), x.dtype).real.dtype
-    s = xp.arange(-L, L + 1, dtype=rdtype)
-    p = xp.arange(factor, dtype=rdtype)
-    taps = jnp.asarray(
-        fun.calc(s[None, :] - p[:, None] / factor + delay))  # (F, 2L+1)
+    # Taps depend only on static resampler parameters; evaluate them at
+    # COMPILE time even under an enclosing user jit (jax stages jnp ops on
+    # constants into the program otherwise, and the direct path's band
+    # matrix would then be rebuilt by a ~0.15 ms in-program scatter per
+    # call — measured on v5e at the modulation-chain shape).
+    with jax.ensure_compile_time_eval():
+        s = xp.arange(-L, L + 1, dtype=rdtype)
+        p = xp.arange(factor, dtype=rdtype)
+        taps = jnp.asarray(
+            fun.calc(s[None, :] - p[:, None] / factor + delay))  # (F, 2L+1)
     if _direct_eligible(taps, factor, 1, L):
         out = _interpolatef_direct(x, taps, factor, 1, (0,) * factor, L,
                                    factor * n)
@@ -224,13 +257,15 @@ def _interpolatef_rational_spectral(x, fun, P, Q, delay, L):
     n = x.shape[-1]
     xp = np if getattr(fun, "_no_jit", False) else jnp
     rdtype = np.float64 if xp is np else jnp.zeros((), x.dtype).real.dtype
-    s = xp.arange(-L, L + 1, dtype=rdtype)
     p = np.arange(P)
     fracs = ((p * Q) % P) / P
     offs = (p * Q) // P
-    taps = jnp.asarray(
-        fun.calc(s[None, :] - xp.asarray(fracs, dtype=rdtype)[:, None]
-                 + delay))                                    # (P, 2L+1)
+    # Compile-time tap evaluation — see _interpolatef_integer_spectral.
+    with jax.ensure_compile_time_eval():
+        s = xp.arange(-L, L + 1, dtype=rdtype)
+        taps = jnp.asarray(
+            fun.calc(s[None, :] - xp.asarray(fracs, dtype=rdtype)[:, None]
+                     + delay))                                    # (P, 2L+1)
     if _direct_eligible(taps, P, Q, L):
         out = _interpolatef_direct(x, taps, P, Q, tuple(int(o) for o in offs),
                                    L, n * P // Q)
@@ -321,33 +356,101 @@ def decimatei(x: jnp.ndarray, decimation_factor: int,
     return x[..., delay::decimation_factor]
 
 
-def interpolate_lin(x: jnp.ndarray, factor: float,
-                    delay: float) -> jnp.ndarray:
-    """Linear interpolation between samples (reference
-    real_interpolation.rs:33-71).  Real vectors only; the last output point
-    is pinned to the last input point."""
-    n = x.shape[-1]
-    dest_len = int(round((n - 1) * factor)) + 1
-    rdtype = jnp.zeros((), x.dtype).real.dtype
-    i = jnp.arange(dest_len - 1, dtype=rdtype)
+def _lin_gather_at(x, n, factor, delay, i):
+    """Reference linear-interp formula at output indices ``i`` (gather;
+    used for the full output on small vectors and for the tiny clipped
+    boundary regions of the rational fast path)."""
     pos = i / factor + delay
     before_f = jnp.floor(pos)
     before = jnp.clip(before_f.astype(jnp.int32), 0, n - 2)
     y0 = x[..., before]
     y1 = x[..., before + 1]
-    body = y0 + (y1 - y0) * (pos - before_f).astype(x.dtype)
-    return jnp.concatenate([body, x[..., -1:]], axis=-1)
+    return y0 + (y1 - y0) * (pos - before_f).astype(x.dtype)
 
 
-def interpolate_hermite(x: jnp.ndarray, factor: float,
-                        delay: float) -> jnp.ndarray:
-    """Catmull-Rom-style cubic hermite interpolation with boundary
-    extrapolation (reference real_interpolation.rs:73-179; cites
-    paulbourke.net/miscellaneous/interpolation)."""
+def _rational_factor(factor):
+    """factor as an exact small fraction P/Q, or None."""
+    from fractions import Fraction
+    frac = Fraction(factor).limit_denominator(64)
+    if float(frac) != float(factor) or frac <= 0:
+        return None
+    return frac.numerator, frac.denominator
+
+
+def _real_interp_direct(x, taps_np, P, Q, L, lo, hi, out_len):
+    """Shared rational fast-path plumbing for the real interpolators:
+    interior outputs (clip-free stencils, i.e. phase-k indices in
+    [k_head, k_tail]) via :func:`_interpolatef_direct`'s banded matmul,
+    boundary outputs patched with the exact gather formula.
+
+    ``lo``/``hi``: the stencil's lowest/highest x-offset per output
+    (interior requires ``0 <= kQ + lo`` and ``kQ + hi <= n - 1``).
+    Returns (head_n, tail_start, body) or None when ineligible.
+    """
+    n = x.shape[-1]
+    W = 128 * (Q + -(-2 * L // 128))
+    if jnp.iscomplexobj(x) or out_len < 2048 or W * 128 * P > (1 << 22):
+        return None
+    k_head = max(0, -(-(0 - lo) // Q))
+    k_tail = (n - 1 - hi) // Q
+    head_n = min(out_len, k_head * P)
+    tail_start = max(head_n, min(out_len, (k_tail + 1) * P))
+    if tail_start - head_n < out_len // 2:
+        return None  # boundary-dominated; not worth the matmul
+    # taps stay NUMPY end-to-end: jnp.asarray under an enclosing trace is
+    # STAGED into the program in jax 0.9 (a tracer), which would defeat
+    # the host-side band-matrix build in _interpolatef_direct.
+    body = _interpolatef_direct(x, taps_np, P, Q, (0,) * P, L, out_len)
+    return head_n, tail_start, body
+
+
+def interpolate_lin(x: jnp.ndarray, factor: float,
+                    delay: float) -> jnp.ndarray:
+    """Linear interpolation between samples (reference
+    real_interpolation.rs:33-71).  Real vectors only; the last output point
+    is pinned to the last input point.
+
+    For rational factors P/Q the body runs gather-free: output phase p has
+    a CONSTANT fractional position ``t_p = frac(pQ/P + delay)``, so the
+    whole op is a 2-tap instance of :func:`_interpolatef_direct`'s banded
+    matmul; only the clipped boundary samples use the reference's gather
+    formula (TPU gathers are catastrophically slow in hot paths)."""
     n = x.shape[-1]
     dest_len = int(round((n - 1) * factor)) + 1
     rdtype = jnp.zeros((), x.dtype).real.dtype
-    i = jnp.arange(dest_len, dtype=rdtype)
+    body_len = dest_len - 1
+    rational = _rational_factor(factor)
+    if rational and not jnp.iscomplexobj(x):
+        P, Q = rational
+        v = np.arange(P) * Q / float(P) + delay
+        b = np.floor(v).astype(np.int64)
+        t = v - b
+        L = int(max(1, -b.min(), b.max() + 1))
+        taps = np.zeros((P, 2 * L + 1))
+        taps[np.arange(P), b + L] = 1.0 - t
+        taps[np.arange(P), b + L + 1] = t
+        fast = _real_interp_direct(x, taps, P, Q, L, int(b.min()),
+                                   int(b.max()) + 1, body_len)
+        if fast is not None:
+            head_n, tail_start, body = fast
+            pieces = []
+            if head_n:
+                pieces.append(_lin_gather_at(
+                    x, n, factor, delay, jnp.arange(head_n, dtype=rdtype)))
+            pieces.append(body[..., head_n:tail_start])
+            if tail_start < body_len:
+                pieces.append(_lin_gather_at(
+                    x, n, factor, delay,
+                    jnp.arange(tail_start, body_len, dtype=rdtype)))
+            return jnp.concatenate(pieces + [x[..., -1:]], axis=-1)
+    body = _lin_gather_at(x, n, factor, delay,
+                          jnp.arange(body_len, dtype=rdtype))
+    return jnp.concatenate([body, x[..., -1:]], axis=-1)
+
+
+def _hermite_gather_at(x, n, factor, delay, i):
+    """Reference hermite formula at output indices ``i`` (gather with
+    boundary extrapolation; real_interpolation.rs:115, 156-165)."""
     pos = i / factor + delay
     before_f = jnp.floor(pos)
     before = before_f.astype(jnp.int32)
@@ -360,7 +463,6 @@ def interpolate_hermite(x: jnp.ndarray, factor: float,
     y2_in = grab(before + 1)
     y0_in = grab(before - 1)
     y3_in = grab(before + 2)
-    # Boundary extrapolation (real_interpolation.rs:115, 156-165):
     y0 = jnp.where(before <= 0, y1 - (y2_in - y1), y0_in)
     y2 = jnp.where(before >= n - 1, y1 + (y1 - y0), y2_in)
     y3 = jnp.where(before >= n - 2, y2 + (y2 - y1), y3_in)
@@ -370,3 +472,51 @@ def interpolate_hermite(x: jnp.ndarray, factor: float,
     a2 = -0.5 * y0 + 0.5 * y2
     a3 = y1
     return a0 * t * t2 + a1 * t2 + a2 * t + a3
+
+
+def interpolate_hermite(x: jnp.ndarray, factor: float,
+                        delay: float) -> jnp.ndarray:
+    """Catmull-Rom-style cubic hermite interpolation with boundary
+    extrapolation (reference real_interpolation.rs:73-179; cites
+    paulbourke.net/miscellaneous/interpolation).
+
+    Rational factors run the interior as a 4-tap banded matmul with
+    per-phase Catmull-Rom weights (see :func:`interpolate_lin`); the
+    extrapolated boundary samples keep the reference gather formula."""
+    n = x.shape[-1]
+    dest_len = int(round((n - 1) * factor)) + 1
+    rdtype = jnp.zeros((), x.dtype).real.dtype
+    rational = _rational_factor(factor)
+    if rational and not jnp.iscomplexobj(x):
+        P, Q = rational
+        v = np.arange(P) * Q / float(P) + delay
+        b = np.floor(v).astype(np.int64)
+        t = v - b
+        t2, t3 = t * t, t * t * t
+        w0 = -0.5 * t3 + t2 - 0.5 * t
+        w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+        w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+        w3 = 0.5 * t3 - 0.5 * t2
+        L = int(max(1, -(b.min() - 1), b.max() + 2))
+        taps = np.zeros((P, 2 * L + 1))
+        idx = np.arange(P)
+        taps[idx, b - 1 + L] = w0
+        taps[idx, b + L] += w1
+        taps[idx, b + 1 + L] += w2
+        taps[idx, b + 2 + L] += w3
+        fast = _real_interp_direct(x, taps, P, Q, L, int(b.min()) - 1,
+                                   int(b.max()) + 2, dest_len)
+        if fast is not None:
+            head_n, tail_start, body = fast
+            pieces = []
+            if head_n:
+                pieces.append(_hermite_gather_at(
+                    x, n, factor, delay, jnp.arange(head_n, dtype=rdtype)))
+            pieces.append(body[..., head_n:tail_start])
+            if tail_start < dest_len:
+                pieces.append(_hermite_gather_at(
+                    x, n, factor, delay,
+                    jnp.arange(tail_start, dest_len, dtype=rdtype)))
+            return jnp.concatenate(pieces, axis=-1)
+    return _hermite_gather_at(x, n, factor, delay,
+                              jnp.arange(dest_len, dtype=rdtype))

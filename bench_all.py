@@ -28,9 +28,14 @@ def timed(fn, *args, iters=10):
             def step(_, carry):
                 # Each config folds `carry` into its *input*, so the body
                 # cannot be hoisted out of the loop; the returned carry is
-                # a tiny scalar derived from the output.
+                # a tiny scalar derived from EVERY output element.  A
+                # partial read (e.g. ravel()[:1]) is NOT safe: XLA
+                # slice-propagates it back through matmul-only bodies and
+                # dead-codes most of the work (measured 0.005 ms for a
+                # banded matmul that honestly costs ~0.04 ms).  The abs
+                # blocks the algebraic rewrite sum(A@M) -> sums-of-factors.
                 out = fn(*a, carry)
-                return (jnp.sum(jnp.abs(out.ravel()[:1]))
+                return (jnp.sum(jnp.abs(out))
                         .astype(jnp.float32) * jnp.float32(1e-20))
 
             return jax.lax.fori_loop(0, k, step, jnp.float32(0.0))

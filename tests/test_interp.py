@@ -298,3 +298,70 @@ def test_linear_golden():
                 0.2500, 0.5000, 0.7500, 1.0000, 1.5000, 2.0000, 2.5000,
                 3.0000, 3.2500, 3.5000, 3.7500, 4.0]
     assert_vector_eq(out, expected, tol=0.1)
+
+
+def _lin_oracle(data, factor, delay):
+    n = data.shape[-1]
+    dest_len = int(round((n - 1) * factor)) + 1
+    i = np.arange(dest_len - 1, dtype=np.float64)
+    pos = i / factor + delay
+    before_f = np.floor(pos)
+    before = np.clip(before_f.astype(np.int64), 0, n - 2)
+    y0, y1 = data[before], data[before + 1]
+    body = y0 + (y1 - y0) * (pos - before_f)
+    return np.concatenate([body, data[-1:]])
+
+
+def _hermite_oracle(data, factor, delay):
+    n = data.shape[-1]
+    dest_len = int(round((n - 1) * factor)) + 1
+    i = np.arange(dest_len, dtype=np.float64)
+    pos = i / factor + delay
+    before_f = np.floor(pos)
+    before = before_f.astype(np.int64)
+    t = pos - before_f
+
+    def grab(idx):
+        return data[np.clip(idx, 0, n - 1)]
+
+    y1 = grab(before)
+    y2_in = grab(before + 1)
+    y0_in = grab(before - 1)
+    y3_in = grab(before + 2)
+    y0 = np.where(before <= 0, y1 - (y2_in - y1), y0_in)
+    y2 = np.where(before >= n - 1, y1 + (y1 - y0), y2_in)
+    y3 = np.where(before >= n - 2, y2 + (y2 - y1), y3_in)
+    t2 = t * t
+    a0 = -0.5 * y0 + 1.5 * y1 - 1.5 * y2 + 0.5 * y3
+    a1 = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
+    a2 = -0.5 * y0 + 0.5 * y2
+    return a0 * t * t2 + a1 * t2 + a2 * t + y1
+
+
+@pytest.mark.parametrize("factor,delay", [
+    (1.5, 0.0), (2.0, 0.25), (2.5, -0.75), (10.0, 0.0), (0.75, 0.5),
+])
+def test_interpolate_lin_rational_fast_path(factor, delay):
+    """The banded-matmul fast path (large rational factors) must agree
+    with the reference gather formula, including the patched clipped
+    boundary samples."""
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=4096)
+    v = bd.to_real_time_vec(data)
+    out = np.asarray(v.interpolate_lin(factor, delay).array)
+    expected = _lin_oracle(data, factor, delay)
+    assert out.shape == expected.shape
+    assert_vector_eq(out, expected, tol=2e-5)
+
+
+@pytest.mark.parametrize("factor,delay", [
+    (1.5, 0.0), (2.0, 0.25), (2.5, -0.75), (10.0, 0.0), (0.75, 0.5),
+])
+def test_interpolate_hermite_rational_fast_path(factor, delay):
+    rng = np.random.default_rng(8)
+    data = rng.normal(size=4096)
+    v = bd.to_real_time_vec(data)
+    out = np.asarray(v.interpolate_hermite(factor, delay).array)
+    expected = _hermite_oracle(data, factor, delay)
+    assert out.shape == expected.shape
+    assert_vector_eq(out, expected, tol=2e-5)
