@@ -365,3 +365,18 @@ def test_interpolate_hermite_rational_fast_path(factor, delay):
     expected = _hermite_oracle(data, factor, delay)
     assert out.shape == expected.shape
     assert_vector_eq(out, expected, tol=2e-5)
+
+
+def test_interpolatef_direct_batch_dims():
+    """The direct banded-matmul resampler must honor leading batch dims
+    (matrix layer drives per-row interpolation through the same op)."""
+    from basic_dsp_tpu.ops import interp_ops
+    import jax.numpy as jnp
+    rows = np.stack([multitone(3, 64), multitone(5, 64)])
+    xj = jnp.asarray(rows)
+    out = interp_ops.interpolatef(xj, bd.SincFunction(), 2.0, 0.0, 6, 1.0)
+    assert out.shape == (2, 128)
+    for r in range(2):
+        ref = interp_ops.interpolatef(jnp.asarray(rows[r]),
+                                      bd.SincFunction(), 2.0, 0.0, 6, 1.0)
+        assert_vector_eq(np.asarray(out[r]), np.asarray(ref), tol=1e-9)
