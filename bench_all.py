@@ -18,40 +18,49 @@ import numpy as np
 def timed(fn, *args, iters=10):
     """Per-iteration SLOPE between an ``iters`` and a ``3*iters`` in-jit
     loop (bench.py discipline): per-call fixed costs — the ~25 ms tunnel
-    round trip, dispatch, scalar fetch — cancel exactly."""
+    round trip, dispatch, scalar fetch — cancel exactly.
+
+    The loop carry folds EVERY output element back into the next
+    iteration's input.  A partial read (e.g. ``out.ravel()[:1]``) is NOT
+    safe: XLA slice-propagates it back through matmul-only bodies and
+    dead-codes most of the work (measured 0.005 ms for a banded matmul
+    that honestly costs ~0.04 ms).  A scalar ``sum(abs(out))`` is honest
+    but stalls the axon compiler at some shapes, so the carry is an
+    ARRAY of the input's shape: |out| padded to a multiple of n and
+    summed down the short axis (the abs blocks the algebraic rewrite
+    sum(A@M) -> sums-of-factors)."""
     import jax
     import jax.numpy as jnp
+
+    n = args[0].shape[-1]
+
+    def fold(out):
+        flat = jnp.abs(out.ravel()).astype(jnp.float32)
+        rows = -(-flat.shape[0] // n)
+        flat = jnp.pad(flat, (0, rows * n - flat.shape[0]))
+        return jnp.sum(flat.reshape(rows, n), axis=0) * jnp.float32(1e-20)
 
     def make(k):
         @jax.jit
         def looped(*a):
             def step(_, carry):
-                # Each config folds `carry` into its *input*, so the body
-                # cannot be hoisted out of the loop; the returned carry is
-                # a tiny scalar derived from EVERY output element.  A
-                # partial read (e.g. ravel()[:1]) is NOT safe: XLA
-                # slice-propagates it back through matmul-only bodies and
-                # dead-codes most of the work (measured 0.005 ms for a
-                # banded matmul that honestly costs ~0.04 ms).  The abs
-                # blocks the algebraic rewrite sum(A@M) -> sums-of-factors.
-                out = fn(*a, carry)
-                return (jnp.sum(jnp.abs(out))
-                        .astype(jnp.float32) * jnp.float32(1e-20))
+                return fold(fn(*a, carry))
 
-            return jax.lax.fori_loop(0, k, step, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, k, step,
+                                     jnp.zeros((n,), jnp.float32))
 
         return looped
 
     r1, r3 = make(iters), make(3 * iters)
     for _ in range(2):
-        float(r1(*args))
-        float(r3(*args))
+        float(jnp.sum(r1(*args)))
+        float(jnp.sum(r3(*args)))
 
     def med(r):
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(r(*args))
+            float(jnp.sum(r(*args)))
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[1]
 
