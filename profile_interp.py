@@ -1,5 +1,8 @@
 """Stage profile of interpolatef 1.5x / 10x on-chip (bench_all cfg3/cfg4).
 
+WARNING: [:1]-carry harness; matmul-only bodies can be DCE-d (see
+profile_mod2.py docstring). Use profile_mod3 for honest numbers.
+
 Times, per stage, via the slope discipline from bench_all.timed:
   full       : (xr,xi) -> complex -> interpolatef(1.5)
   corr       : the 3 phase Toeplitz correlations only

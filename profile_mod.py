@@ -1,4 +1,7 @@
-"""Stage profile of bench_all cfg4 (modulation chain, 131k symbols x10)."""
+"""Stage profile of bench_all cfg4 (modulation chain, 131k symbols x10).
+
+WARNING: [:1]-carry harness; matmul-only bodies can be DCE-d (see
+profile_mod2.py docstring). Use profile_mod3 for honest numbers."""
 import time
 
 import numpy as np

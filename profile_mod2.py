@@ -1,5 +1,11 @@
 """Micro-profile of _interpolatef_direct pieces at the cfg4 shape
-(n=131072, P=10, Q=1, L=10 -> W=256, B=1280, nb=1024)."""
+(n=131072, P=10, Q=1, L=10 -> W=256, B=1280, nb=1024).
+
+WARNING — kept as the DCE exhibit: this harness's ``out.ravel()[:1]``
+carry lets XLA slice-propagate through matmul-only bodies and dead-code
+the work (banded matmul measured "0.005 ms" here vs an honest ~0.04 ms).
+Use bench_all.timed / profile_mod3.timed (array-carry fold) for real
+numbers."""
 import time
 
 import numpy as np
