@@ -340,6 +340,7 @@ def _hermite_oracle(data, factor, delay):
 
 @pytest.mark.parametrize("factor,delay", [
     (1.5, 0.0), (2.0, 0.25), (2.5, -0.75), (10.0, 0.0), (0.75, 0.5),
+    (1.0, 0.5), (3.0, -1.25),
 ])
 def test_interpolate_lin_rational_fast_path(factor, delay):
     """The banded-matmul fast path (large rational factors) must agree
@@ -356,6 +357,7 @@ def test_interpolate_lin_rational_fast_path(factor, delay):
 
 @pytest.mark.parametrize("factor,delay", [
     (1.5, 0.0), (2.0, 0.25), (2.5, -0.75), (10.0, 0.0), (0.75, 0.5),
+    (1.0, 0.5), (3.0, -1.25),
 ])
 def test_interpolate_hermite_rational_fast_path(factor, delay):
     rng = np.random.default_rng(8)
