@@ -13,5 +13,6 @@ run smoke_tpu.py 900
 run smoke_accuracy_tpu.py 1200
 run profile_mod3.py 1750 full
 run bench_all.py 1750
+run probe_bench_dce.py 1750
 run bench.py 900
 echo "=== done $(date) ===" >> $LOG
