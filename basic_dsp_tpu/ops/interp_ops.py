@@ -386,10 +386,17 @@ def _real_interp_direct(x, taps_np, P, Q, L, lo, hi, out_len):
     ``lo``/``hi``: the stencil's lowest/highest x-offset per output
     (interior requires ``0 <= kQ + lo`` and ``kQ + hi <= n - 1``).
     Returns (head_n, tail_start, body) or None when ineligible.
+
+    Accuracy note: output phases whose fractional position is exactly 0
+    are plain copies in the reference formula; through the banded matmul
+    they pick up the ~3e-7 one-hot-matmul residue CLAUDE.md documents
+    (TPU only; f32-exact grade).  The all-phases-exact case (P == 1 with
+    integer delay — pure decimation) is rejected by the callers so true
+    data movement stays bit-exact on the gather path.
     """
     n = x.shape[-1]
-    W = 128 * (Q + -(-2 * L // 128))
-    if jnp.iscomplexobj(x) or out_len < 2048 or W * 128 * P > (1 << 22):
+    if (jnp.iscomplexobj(x) or out_len < 2048
+            or not _direct_eligible(taps_np, P, Q, L)):
         return None
     k_head = max(0, -(-(0 - lo) // Q))
     k_tail = (n - 1 - hi) // Q
@@ -420,7 +427,8 @@ def interpolate_lin(x: jnp.ndarray, factor: float,
     rdtype = jnp.zeros((), x.dtype).real.dtype
     body_len = dest_len - 1
     rational = _rational_factor(factor)
-    if rational and not jnp.iscomplexobj(x):
+    if (rational and not jnp.iscomplexobj(x)
+            and not (rational[0] == 1 and delay == int(delay))):
         P, Q = rational
         v = np.arange(P) * Q / float(P) + delay
         b = np.floor(v).astype(np.int64)
@@ -487,7 +495,8 @@ def interpolate_hermite(x: jnp.ndarray, factor: float,
     dest_len = int(round((n - 1) * factor)) + 1
     rdtype = jnp.zeros((), x.dtype).real.dtype
     rational = _rational_factor(factor)
-    if rational and not jnp.iscomplexobj(x):
+    if (rational and not jnp.iscomplexobj(x)
+            and not (rational[0] == 1 and delay == int(delay))):
         P, Q = rational
         v = np.arange(P) * Q / float(P) + delay
         b = np.floor(v).astype(np.int64)
