@@ -29,6 +29,7 @@ unit that shards across chips with halo exchange).
 from __future__ import annotations
 
 import functools
+from contextlib import nullcontext as _nullcontext
 
 import jax
 import jax.numpy as jnp
@@ -177,9 +178,14 @@ def _toeplitz_body(x, h, precision: str):
     n = x.shape[-1]
     m = h.shape[-1]
     start, length, c = _clip_kernel(n, m)
-    h_eff = h[..., start:start + length]
+    # fold must be decided on h BEFORE any jnp op touches it: jax 0.9
+    # stages ops on constants, so even h[..., slice] of a concrete h
+    # returns a tracer inside an enclosing trace.
+    fold = not isinstance(h, jax.core.Tracer)
+    with jax.ensure_compile_time_eval() if fold else _nullcontext():
+        h_eff = h[..., start:start + length]
+        q = h_eff[..., ::-1]  # taps over forward offsets e = 0..m_eff-1
     m_eff = length
-    q = h_eff[..., ::-1]  # taps over forward offsets e = 0..m_eff-1
     dtype = jnp.result_type(x.dtype, q.dtype)
     R = -(-n // 128)
     n_shifts = -(-(m_eff + 127) // 128)  # row shifts needed: e up to m_eff-1
@@ -195,7 +201,12 @@ def _toeplitz_body(x, h, precision: str):
         pieces.append(x[..., :take])
         remaining -= take
     ext = jnp.concatenate(pieces, axis=-1).astype(dtype)
-    # Tap matrices: T_a[j, col] = q[128*a + j - col] where defined.
+    # Tap matrices: T_a[j, col] = q[128*a + j - col] where defined.  When
+    # the kernel is CONCRETE (closure-constant taps, e.g. the flagship
+    # chain / StreamingFir), fold the build at compile time — jax 0.9
+    # stages jnp ops on constants into the program otherwise, and inside
+    # a fori_loop the per-shift gather+select is re-executed every
+    # iteration (XLA does not hoist it).
     j = np.arange(128)[:, None]
     col = np.arange(128)[None, :]
     out = jnp.zeros(x.shape[:-1] + (R * 128,), dtype=dtype)
@@ -203,7 +214,15 @@ def _toeplitz_body(x, h, precision: str):
         e = 128 * a + j - col
         mask = (e >= 0) & (e < m_eff)
         idx = np.where(mask, e, 0)
-        Ta = jnp.where(jnp.asarray(mask), q[..., idx], 0).astype(dtype)
+
+        def _mk_ta():
+            return jnp.where(jnp.asarray(mask), q[..., idx], 0).astype(dtype)
+
+        if fold:
+            with jax.ensure_compile_time_eval():
+                Ta = _mk_ta()
+        else:
+            Ta = _mk_ta()
         block = ext[..., 128 * a: 128 * a + R * 128].reshape(
             x.shape[:-1] + (R, 128))
         out = out + jnp.matmul(block, Ta,
@@ -225,7 +244,9 @@ def toeplitz_conv_multi(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     P, m = taps.shape
     n = x.shape[-1]
     start, length, c = _clip_kernel(n, m)
-    q = taps[:, start:start + length][:, ::-1]
+    fold = not isinstance(taps, jax.core.Tracer)  # see _toeplitz_body
+    with jax.ensure_compile_time_eval() if fold else _nullcontext():
+        q = taps[:, start:start + length][:, ::-1]
     m_eff = length
     dtype = jnp.result_type(x.dtype, q.dtype)
     R = -(-n // 128)
@@ -246,7 +267,16 @@ def toeplitz_conv_multi(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
         e = 128 * a + j - col
         mask = (e >= 0) & (e < m_eff)
         idx = np.where(mask, e, 0)
-        Ta = jnp.where(jnp.asarray(mask)[None], q[:, idx], 0).astype(dtype)
+
+        def _mk_ta():
+            return jnp.where(jnp.asarray(mask)[None], q[:, idx],
+                             0).astype(dtype)
+
+        if fold:
+            with jax.ensure_compile_time_eval():
+                Ta = _mk_ta()
+        else:
+            Ta = _mk_ta()
         block = ext[..., 128 * a: 128 * a + R * 128].reshape(
             x.shape[:-1] + (R, 128))
         out = out + jnp.einsum("...rk,pkl->...prl", block, Ta,
