@@ -45,16 +45,21 @@ def _merged_tap_rows(prototype: jnp.ndarray, C: int) -> jnp.ndarray:
     stencil pass (the previous formulation's 1-lane minor-axis shift
     forced a full relayout and dominated the pipeline: 1.5 of 1.8 ms at
     4M/1024ch on v5e)."""
+    from contextlib import nullcontext
     t = prototype.shape[-1] // C
-    h_rc = prototype.reshape(t, C)                    # h_rc[r, p] = h[p+r*C]
-    perm = (C - jnp.arange(C)) % C
-    tc = h_rc[:, perm]
-    top = jnp.concatenate([tc[:1, :1],
-                           jnp.zeros((1, C - 1), tc.dtype)], axis=1)
-    rest = jnp.concatenate([tc[1:, :1], tc[:-1, 1:]], axis=1)
-    bottom = jnp.concatenate([jnp.zeros((1, 1), tc.dtype),
-                              tc[-1:, 1:]], axis=1)
-    return jnp.concatenate([top, rest, bottom], axis=0)
+    # Constant prototypes fold at compile time (jax 0.9 stages jnp ops on
+    # constants into the program otherwise — see conv_ops._toeplitz_body).
+    fold = not isinstance(prototype, jax.core.Tracer)
+    with jax.ensure_compile_time_eval() if fold else nullcontext():
+        h_rc = prototype.reshape(t, C)                # h_rc[r, p] = h[p+r*C]
+        perm = (C - jnp.arange(C)) % C
+        tc = h_rc[:, perm]
+        top = jnp.concatenate([tc[:1, :1],
+                               jnp.zeros((1, C - 1), tc.dtype)], axis=1)
+        rest = jnp.concatenate([tc[1:, :1], tc[:-1, 1:]], axis=1)
+        bottom = jnp.concatenate([jnp.zeros((1, 1), tc.dtype),
+                                  tc[-1:, 1:]], axis=1)
+        return jnp.concatenate([top, rest, bottom], axis=0)
 
 
 def _channelize_rows(ext: jnp.ndarray, taps_merged: jnp.ndarray,
