@@ -134,12 +134,20 @@ def _interpolatef_direct(x, taps, P, Q, offs, L, out_len):
         pieces.append(x[..., :take])
         remaining -= take
     ext = jnp.concatenate(pieces, axis=-1)
-    # Static band matrix M[w, j] = taps[j % P, t] at w = (j//P)*Q +
-    # offs[j%P] + t.  Built ON THE HOST in numpy: taps are always concrete
-    # (they depend only on static resampler parameters, never on traced
-    # data — fun.calc runs eagerly even under an enclosing user jit), and
-    # a device-side ``.at[].set`` scatter here can end up INSIDE the
-    # compiled program and cost ~0.15 ms per call (measured, cfg4 shape).
+    M = _direct_band_matrix(taps, P, Q, offs, L, np.dtype(x.dtype))
+    out = _direct_apply(ext, M, P, Q, nb)
+    return out[..., :out_len]
+
+
+def _direct_band_matrix(taps, P, Q, offs, L, dtype):
+    """Static band matrix M[w, j] = taps[j % P, t] at w = (j//P)*Q +
+    offs[j%P] + t, shape (W, 128P).  Built ON THE HOST in numpy: taps are
+    always concrete (they depend only on static resampler parameters,
+    never on traced data — fun.calc runs eagerly even under an enclosing
+    user jit), and a device-side ``.at[].set`` scatter can end up INSIDE
+    the compiled program and cost ~0.15 ms per call (measured)."""
+    B = 128 * P
+    W = 128 * (Q + -(-2 * L // 128))
     taps_np = np.asarray(jax.device_get(taps))
     j = np.arange(B)
     t = np.arange(taps_np.shape[-1])
@@ -148,37 +156,52 @@ def _interpolatef_direct(x, taps, P, Q, offs, L, out_len):
     ww = (jj // P) * Q + np.asarray(offs)[pp] + tt
     M_np = np.zeros((W, B), dtype=taps_np.dtype)
     M_np[ww.ravel(), jj.ravel()] = taps_np[pp.ravel(), tt.ravel()]
-    M = jnp.asarray(M_np.astype(np.dtype(x.dtype)))
+    return jnp.asarray(M_np.astype(dtype))
+
+
+def _direct_apply(ext, M, P, Q, nb):
+    """Band matmul over a pre-built extension: ``out[..., b*B + j] =
+    sum_w ext[..., b*span + w] * M[w, j]`` — the resampler core shared by
+    the single-device circular path (:func:`_interpolatef_direct`) and
+    the halo-extended sharded path (parallel.sharded_interpolatef).
+    ``ext`` must be at least ``nb*span + W - 128`` long; returns the flat
+    (..., nb*128P) output.
+
+    Column group g of window_b = ext[b*span : b*span + W] is
+    ext[128g + b*span : ...+128] — the leading 128 lanes of span-block b
+    of ext shifted by 128g.  Two equivalent spellings, chosen by shape
+    (A/B-measured on v5e, profile_mod2.py / commit log):
+     - Q == 1 (integer factors; span == 128, groups fully contiguous):
+       shift-accumulate `sum_g part_g @ M_g` behind an optimization
+       barrier — 0.045 vs 0.249 ms at n=131k, P=10 (XLA fuses the
+       window concat INTO the matmul with a pathological access
+       pattern unless barred).
+     - Q > 1: one materialized (nb, W) windows matmul — 0.041 vs
+       0.105 ms at n=1M, P=3, Q=2.
+    """
+    B = 128 * P
+    span = 128 * Q
+    W = M.shape[0]
+    lead = ext.shape[:-1]
     precision = config.matmul_precision()
-    # Column group g of window_b = ext[b*span : b*span + W] is
-    # ext[128g + b*span : ...+128] — the leading 128 lanes of span-block b
-    # of ext shifted by 128g.  Two equivalent spellings, chosen by shape
-    # (A/B-measured on v5e, profile_mod2.py / commit log):
-    #  - Q == 1 (integer factors; span == 128, groups fully contiguous):
-    #    shift-accumulate `sum_g part_g @ M_g` behind an optimization
-    #    barrier — 0.045 vs 0.249 ms at n=131k, P=10 (XLA fuses the
-    #    window concat INTO the matmul with a pathological access
-    #    pattern unless barred).
-    #  - Q > 1: one materialized (nb, W) windows matmul — 0.041 vs
-    #    0.105 ms at n=1M, P=3, Q=2.
     if Q == 1:
         ext = jax.lax.optimization_barrier(ext)
         out = None
         for g in range(W // 128):
             part = (ext[..., 128 * g: 128 * g + nb * span]
-                    .reshape(x.shape[:-1] + (nb, span))[..., :128])
+                    .reshape(lead + (nb, span))[..., :128])
             term = jnp.matmul(part, M[128 * g: 128 * (g + 1)],
                               precision=precision)
             out = term if out is None else out + term
     else:
         parts = [
             ext[..., 128 * g: 128 * g + nb * span]
-            .reshape(x.shape[:-1] + (nb, span))[..., :128]
+            .reshape(lead + (nb, span))[..., :128]
             for g in range(W // 128)
         ]
         windows = jnp.concatenate(parts, axis=-1)
         out = jnp.matmul(windows, M, precision=precision)
-    return out.reshape(x.shape[:-1] + (nb * B,))[..., :out_len]
+    return out.reshape(lead + (nb * B,))
 
 
 def _direct_eligible(taps, P, Q, L):

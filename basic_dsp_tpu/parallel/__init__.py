@@ -11,6 +11,7 @@ exchange over ICI, and the mergeable per-thread statistics partials
 """
 from .sharded import (
     sharded_convolve_signal,
+    sharded_interpolatef,
     sharded_statistics,
     sharded_sum,
     shard_time_axis,

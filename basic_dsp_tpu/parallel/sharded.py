@@ -111,6 +111,106 @@ def _sharded_conv_fn(mesh: Mesh, axis_name: str, m_eff: int, c: int,
     ))
 
 
+def sharded_interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
+                         delay: float, conv_len: int, mesh: Mesh,
+                         axis_name: str = "dsp",
+                         delta: float = 1.0) -> jnp.ndarray:
+    """Fractional resampling of a time-sharded signal.
+
+    Semantics identical to ``ops.interp_ops.interpolatef`` (reference
+    interpolation.rs:387-482) for exact rational factors ``P/Q``;
+    execution is fully sharded: each shard runs the banded-matmul direct
+    resampler (interp_ops._direct_apply) on its halo-extended block, with
+    the ``L``-left / ``W-L``-right boundary samples exchanged between
+    ring neighbors via ``ppermute`` — the ring supplies the global
+    circular wrap exactly, as in :func:`sharded_convolve_signal`.
+
+    Requires ``len(x) % mesh.size == 0`` and a local shard divisible by
+    ``128*Q`` (the output-block geometry) and longer than the halo.
+    """
+    from fractions import Fraction
+    from ..ops import interp_ops
+
+    n = x.shape[-1]
+    d = mesh.devices.size
+    if n % d != 0:
+        raise ValueError(f"signal length {n} not divisible by mesh size {d}")
+    ln = n // d
+    delay = delay / delta
+    L = min(conv_len, n // 2)
+    frac = Fraction(float(interpolation_factor)).limit_denominator(64)
+    if float(frac) != float(interpolation_factor) or frac <= 0:
+        raise ValueError("sharded_interpolatef needs an exact rational "
+                         "factor P/Q (denominator <= 64); got "
+                         f"{interpolation_factor}")
+    P, Q = frac.numerator, frac.denominator
+    if 2 * L + 1 > ln:
+        raise ValueError("shard shorter than the interpolation window; "
+                         "use fewer devices")
+    if ln % (128 * Q) != 0:
+        raise ValueError(f"local shard length {ln} must be divisible by "
+                         f"128*Q = {128 * Q}")
+    rdtype = jnp.zeros((), x.dtype).real.dtype
+    p = np.arange(P)
+    fracs = ((p * Q) % P) / P
+    offs = tuple(int(o) for o in (p * Q) // P)
+    # Compile-time tap evaluation (see interp_ops) — taps depend only on
+    # static resampler parameters.
+    with jax.ensure_compile_time_eval():
+        s = jnp.arange(-L, L + 1, dtype=rdtype)
+        taps = jnp.asarray(fun.calc(
+            s[None, :] - jnp.asarray(fracs, dtype=rdtype)[:, None] + delay))
+    if isinstance(taps, jax.core.Tracer) or jnp.iscomplexobj(taps):
+        raise ValueError("sharded_interpolatef needs concrete real taps")
+    M = interp_ops._direct_band_matrix(taps, P, Q, offs, L,
+                                       np.dtype(rdtype))
+    W = int(M.shape[0])
+    nb = ln // (128 * Q)
+    # ext must reach nb*span + W - 128 samples (the shifted-reshape slices
+    # in _direct_apply); with nb*span == ln that is a right halo of
+    # W - 128 - L beyond the L-sample left halo.
+    halo_l, halo_r = L, max(0, W - 128 - L)
+    if halo_l > ln or halo_r > ln:
+        raise ValueError("shard too short for the interpolation halo")
+    fn = _sharded_interp_fn(mesh, axis_name, P, Q, nb, halo_l, halo_r,
+                            jnp.iscomplexobj(x), config.precision_epoch())
+    return fn(x, M)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_interp_fn(mesh: Mesh, axis_name: str, poly_p: int, poly_q: int,
+                       nb: int, halo_l: int, halo_r: int, is_complex: bool,
+                       _precision_epoch: int = 0):
+    """Jitted shard_map resampler, cached per (mesh, geometry); the band
+    matrix rides as a replicated argument so equal-geometry calls with
+    different taps reuse the executable."""
+    from ..ops import interp_ops
+
+    def body(xl, M):
+        d = jax.lax.axis_size(axis_name)
+        fwd = [(i, (i + 1) % d) for i in range(d)]
+        bwd = [(i, (i - 1) % d) for i in range(d)]
+
+        def one_plane(pl):
+            left = (jax.lax.ppermute(pl[..., -halo_l:], axis_name, fwd)
+                    if halo_l else pl[..., :0])
+            right = (jax.lax.ppermute(pl[..., :halo_r], axis_name, bwd)
+                     if halo_r else pl[..., :0])
+            ext = jnp.concatenate([left, pl, right], axis=-1)
+            return interp_ops._direct_apply(ext, M, poly_p, poly_q, nb)
+
+        if is_complex:
+            return jax.lax.complex(one_plane(jnp.real(xl)),
+                                   one_plane(jnp.imag(xl)))
+        return one_plane(xl)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(axis_name),
+    ))
+
+
 def sharded_sum(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp"):
     """psum-reduced sum over a time-sharded signal."""
     fn = jax.shard_map(

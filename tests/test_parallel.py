@@ -158,3 +158,39 @@ def test_sharded_fft_matches_single(mesh):
     got = np.asarray(sf.sharded_fft(xs, mesh))
     exp = np.fft.fft(x)
     assert np.max(np.abs(got - exp)) / np.abs(exp).max() < scaled_tol(1e-10)
+
+
+@pytest.mark.parametrize("factor,cplx", [
+    (1.5, True), (1.5, False), (2.0, True), (10.0, False), (1.25, True),
+])
+def test_sharded_interpolatef_matches_single_device(mesh, factor, cplx):
+    """sharded_interpolatef (halo ppermute + banded matmul per shard) must
+    reproduce the single-device interpolatef exactly (same matmul core,
+    same circular wrap via the ring)."""
+    from basic_dsp_tpu.ops import interp_ops
+    from basic_dsp_tpu.parallel import sharded_interpolatef
+    n = 8192  # /8 devices = 1024 per shard, divisible by 128*Q for Q<=4
+    if cplx:
+        x = create_complex_data(3, n, dtype=np.complex64)
+    else:
+        x = create_data(4, n).astype(np.float32)
+    xj = jnp.asarray(x)
+    expected = interp_ops.interpolatef(xj, bd.SincFunction(), factor, 0.25,
+                                       10, 1.0)
+    out = sharded_interpolatef(shard_time_axis(xj, mesh), bd.SincFunction(),
+                               factor, 0.25, 10, mesh)
+    got = np.asarray(out)
+    want = np.asarray(expected)
+    assert got.shape == want.shape
+    scale = float(np.abs(want).max())
+    assert_vector_eq(got, want, tol=1e-5 * max(scale, 1.0))
+
+
+def test_sharded_interpolatef_rejects_bad_geometry(mesh):
+    from basic_dsp_tpu.parallel import sharded_interpolatef
+    x = jnp.asarray(create_data(1, 1000).astype(np.float32))
+    with pytest.raises(ValueError):
+        sharded_interpolatef(x, bd.SincFunction(), 1.5, 0.0, 10, mesh)
+    x2 = jnp.asarray(create_data(1, 8192).astype(np.float32))
+    with pytest.raises(ValueError):  # irrational factor
+        sharded_interpolatef(x2, bd.SincFunction(), 1.4142135, 0.0, 10, mesh)
