@@ -108,3 +108,98 @@ def stream_chunks(fir: StreamingFir, x: jnp.ndarray,
     if len(pieces) == 1:
         return pieces[0]
     return jnp.concatenate(pieces)
+
+
+class ResamplerState(NamedTuple):
+    """Carry for the streaming resampler: the last ``T`` input samples."""
+
+    tail: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _resample_step(chunk, tail, M, poly_p, poly_q, nb):
+    """One streaming step: (chunk, tail) -> (out, new_tail).
+
+    Module-level and value-agnostic in ``M`` (the banded resampling
+    matrix rides as a traced argument), so the jit cache is shared across
+    StreamingResampler instances with equal geometry.
+    """
+    from .ops import interp_ops
+
+    T = tail.shape[-1]
+    ext = jnp.concatenate([tail.astype(chunk.dtype), chunk], axis=-1)
+
+    def one_plane(pl):
+        return interp_ops._direct_apply(pl, M, poly_p, poly_q, nb)
+
+    if jnp.issubdtype(chunk.dtype, jnp.complexfloating):
+        out = jax.lax.complex(one_plane(jnp.real(ext)),
+                              one_plane(jnp.imag(ext)))
+    else:
+        out = one_plane(ext)
+    new_tail = ext[..., ext.shape[-1] - T:].astype(tail.dtype)
+    return out.astype(chunk.dtype), new_tail
+
+
+class StreamingResampler:
+    """Chunked fractional resampler for rational factors ``P/Q`` — the
+    streaming counterpart of ``interpolatef`` (reference
+    interpolation.rs:387-482 semantics on an unbounded signal).
+
+    Each chunk of ``S`` input samples (``S`` divisible by ``128*Q``)
+    yields exactly ``S*P//Q`` output samples via the banded-matmul direct
+    resampler (ops/interp_ops._direct_apply) on the tail-extended chunk.
+    The concatenated outputs equal the *linear* (zero-padded) resample of
+    the concatenated input, delayed by ``self.output_delay`` samples (the
+    window lookahead becomes latency, as in StreamingFir).
+    """
+
+    def __init__(self, fun, factor: float, delay: float = 0.0,
+                 conv_len: int = 10):
+        from fractions import Fraction
+        import numpy as np
+        from .ops import interp_ops
+
+        frac = Fraction(float(factor)).limit_denominator(64)
+        if float(frac) != float(factor) or frac <= 0:
+            raise ValueError("StreamingResampler needs an exact rational "
+                             f"factor P/Q (denominator <= 64); got {factor}")
+        P, Q = frac.numerator, frac.denominator
+        L = int(conv_len)
+        p = np.arange(P)
+        fracs = ((p * Q) % P) / P
+        offs = tuple(int(o) for o in (p * Q) // P)
+        with jax.ensure_compile_time_eval():
+            s = jnp.arange(-L, L + 1, dtype=jnp.float32)
+            taps = jnp.asarray(fun.calc(
+                s[None, :] - jnp.asarray(fracs, jnp.float32)[:, None]
+                + delay))
+        if isinstance(taps, jax.core.Tracer) or jnp.iscomplexobj(taps):
+            raise ValueError("StreamingResampler needs concrete real taps")
+        self.M = interp_ops._direct_band_matrix(taps, P, Q, offs, L,
+                                                np.dtype(np.float32))
+        self.P, self.Q, self.L = P, Q, L
+        W = int(self.M.shape[0])
+        # Tail length: window lookback (2L) and the shifted-reshape slice
+        # reach (W - 128), rounded so (T - L) % Q == 0 keeps the output
+        # grid aligned to whole polyphase cycles.
+        T0 = max(2 * L, W - 128, 0)
+        self.T = T0 + ((L - T0) % Q)
+        #: concatenated-output delay vs the whole-buffer linear resample
+        self.output_delay = (self.T - L) // Q * P
+
+    def init_state(self, dtype=jnp.complex64) -> ResamplerState:
+        return ResamplerState(tail=jnp.zeros((self.T,), dtype=dtype))
+
+    def process(self, chunk: jnp.ndarray,
+                state: ResamplerState) -> Tuple[jnp.ndarray, ResamplerState]:
+        """Processes one chunk of ``S`` samples (``S % (128*Q) == 0``);
+        returns (out, new_state) with ``len(out) == S*P//Q``."""
+        S = chunk.shape[-1]
+        span = 128 * self.Q
+        if S % span != 0:
+            raise ValueError(f"chunk length {S} must be divisible by "
+                             f"128*Q = {span}")
+        out, new_tail = _resample_step(chunk, state.tail, self.M,
+                                       self.P, self.Q, S // span)
+        return out, ResamplerState(tail=new_tail)

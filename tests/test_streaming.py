@@ -2,6 +2,7 @@
 convolution; chains are differentiable (TPU-native bonus beyond the
 reference)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,3 +116,59 @@ def test_dsp_chain_is_differentiable():
     g = jax.grad(loss)(1.0)
     expected = float(np.sum(data * np.cos(data)))
     assert abs(float(g) - expected) < 1e-6
+
+
+def _lin_resample_oracle(x, factor, conv_len):
+    """Zero-padded linear resample (f64): out[i] = sum_t xpad[K*Q +
+    offs[p] + t - L] * sinc(t - L - fracs[p]), i = K*P + p."""
+    from fractions import Fraction
+    frac = Fraction(float(factor)).limit_denominator(64)
+    P, Q = frac.numerator, frac.denominator
+    L = conv_len
+    n = len(x)
+    p = np.arange(P)
+    fracs = ((p * Q) % P) / P
+    offs = (p * Q) // P
+    s = np.arange(-L, L + 1, dtype=np.float64)
+    taps = np.sinc(s[None, :] - fracs[:, None])
+    xpad = np.concatenate([x, np.zeros(2 * L + Q + 1, x.dtype)])
+    m = n * P // Q
+    out = np.zeros(m, dtype=np.result_type(x.dtype, np.float64))
+    for i in range(m):
+        K, ph = divmod(i, P)
+        idx = K * Q + offs[ph] + np.arange(2 * L + 1) - L
+        valid = idx >= 0
+        out[i] = np.sum(xpad[idx[valid]] * taps[ph][valid])
+    return out
+
+
+@pytest.mark.parametrize("factor,cplx", [(1.5, True), (2.0, False)])
+def test_streaming_resampler_matches_linear_resample(factor, cplx):
+    """Concatenated streaming outputs == whole-buffer zero-padded linear
+    resample, delayed by resampler.output_delay samples."""
+    from basic_dsp_tpu.streaming import StreamingResampler
+    rng = np.random.default_rng(5)
+    n, S = 2048, 512
+    if cplx:
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    else:
+        x = rng.normal(size=n).astype(np.float32)
+    r = StreamingResampler(bd.SincFunction(), factor, 0.0, 10)
+    st = r.init_state(x.dtype)
+    outs = []
+    for c in range(n // S):
+        out, st = r.process(jnp.asarray(x[c * S:(c + 1) * S]), st)
+        outs.append(np.asarray(out))
+    got = np.concatenate(outs)
+    want = _lin_resample_oracle(x.astype(np.complex128 if cplx
+                                         else np.float64), factor, 10)
+    D = r.output_delay
+    m = len(got) - D
+    assert m > 0
+    np.testing.assert_allclose(got[D:], want[:m], atol=2e-5 * max(
+        1.0, np.abs(want).max()))
+    # jit-cache sharing: a second equal-geometry instance must not
+    # recompile (value-agnostic M argument).
+    r2 = StreamingResampler(bd.SincFunction(), factor, 0.0, 10)
+    out2, _ = r2.process(jnp.asarray(x[:S]), r2.init_state(x.dtype))
+    np.testing.assert_allclose(np.asarray(out2), got[:len(out2)], rtol=1e-6)
