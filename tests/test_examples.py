@@ -55,3 +55,10 @@ def test_slow_down_chain(tmp_path):
     slow_down_music.main(src, dst)
     ch1, ch2, rate = read_stereo_wav(dst)
     assert len(ch1) == 1500
+
+
+def test_streaming_pipeline_example(capsys):
+    from streaming_pipeline import main
+    main(3)
+    out = capsys.readouterr().out
+    assert "resampled 768" in out and out.count("chunk") == 3
