@@ -242,7 +242,8 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
                   f1r_ref, f1m_ref, f1p_ref,
                   wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                   fmr_ref, fmp_ref, fmm_ref, mag_ref,
-                  bre, bim, pr, pi, sra, sia, srb, sib, dsem,
+                  bre, bim, pr0, pi0, pr1, pi1,
+                  sra, sia, srb, sib, dsem,
                   *, L2, rows, n1, n2, panel):
     """Four-step spectrum with stage 1 *inside* the kernel: B = F1 @ A
     never round-trips HBM.  A stays in HBM (memory_space=ANY) and is
@@ -252,25 +253,40 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
     sequentially on the core, so step-0 writes are visible).  Saves the
     64 MB B write+read of the XLA-stage-1 layout at 4M.
 
-    MEASURED SLOWER on v5e (0.778 vs 0.559 ms chain at 4M): the step-0
-    DMA chain is serial (start->wait per panel, no double buffering) and
-    nothing overlaps it, which costs more than the saved HBM round trip.
-    Kept as a gated experiment — a double-buffered variant is the obvious
-    next step if the HBM bound ever becomes the chain's limiter again."""
+    The panel DMA is DOUBLE-BUFFERED (revolving (pr0,pi0)/(pr1,pi1)
+    slots, panel p+1's copy in flight while panel p's dots run): the
+    round-1 serial start->wait version measured SLOWER than the XLA
+    stage-1 (0.778 vs 0.559 ms chain at 4M) precisely because nothing
+    overlapped the DMA chain.  Program order on the core makes the slot
+    reuse safe: panel p's dots are issued before start(p+2) touches the
+    same slot.  Still gated off by default pending an on-chip A/B."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _stage1():
         f1r, f1m, f1p = f1r_ref[...], f1m_ref[...], f1p_ref[...]
-        for p in range(n2 // panel):
+        prs, pis = (pr0, pr1), (pi0, pi1)
+        nP = n2 // panel
+
+        def copies(p):
+            slot = p % 2
             sl = pl.ds(p * panel, panel)
-            cr = pltpu.make_async_copy(ar_hbm.at[:, sl], pr, dsem)
-            cr.start()
-            cr.wait()
-            ci = pltpu.make_async_copy(ai_hbm.at[:, sl], pi, dsem)
-            ci.start()
-            ci.wait()
-            a_r, a_i = pr[...], pi[...]
+            return (pltpu.make_async_copy(ar_hbm.at[:, sl], prs[slot],
+                                          dsem.at[slot, 0]),
+                    pltpu.make_async_copy(ai_hbm.at[:, sl], pis[slot],
+                                          dsem.at[slot, 1]))
+
+        for c in copies(0):
+            c.start()
+        for p in range(nP):
+            if p + 1 < nP:
+                for c in copies(p + 1):
+                    c.start()
+            for c in copies(p):
+                c.wait()
+            slot = p % 2
+            a_r, a_i = prs[slot][...], pis[slot][...]
+            sl = pl.ds(p * panel, panel)
             k1 = _dot_f32(f1r, a_r + a_i)
             k2 = _dot_f32(f1m, a_r)
             k3 = _dot_f32(f1p, a_i)
@@ -403,9 +419,9 @@ def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
     out_spec = pl.BlockSpec((rows, L2, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     scratch = ([pltpu.VMEM((n1, n2), jnp.float32)] * 2      # B planes
-               + [pltpu.VMEM((n1, panel), jnp.float32)] * 2  # DMA panels
+               + [pltpu.VMEM((n1, panel), jnp.float32)] * 4  # 2x2 DMA slots
                + [pltpu.VMEM((rows, n2), jnp.float32)] * 4   # ping-pong
-               + [pltpu.SemaphoreType.DMA])
+               + [pltpu.SemaphoreType.DMA((2, 2))])
     params = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
     kernel = functools.partial(_fused_kernel, L2=L2, rows=rows,
                                n1=n1, n2=n2, panel=panel)

@@ -107,3 +107,23 @@ def test_planar_chain_matches_generic_chain():
         xr, xi, jnp.asarray(taps), window, interpret=True))
     assert got.shape == ref.shape
     assert np.max(np.abs(got - ref)) / np.max(ref) < 2e-6
+
+
+def test_fourstep_mag_fused_matches_rowfft_path():
+    """The fully-fused kernel (stage-1 DFT via double-buffered panel DMA
+    + twiddle + row FFT + shift + |.|) must match the XLA-stage-1 +
+    rowfft_mag path, which itself is numpy-pinned above."""
+    from basic_dsp_tpu import pipelines
+    n, m = 1 << 16, 64
+    rng = np.random.default_rng(6)
+    xr = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    taps = rng.normal(size=m).astype(np.float32)
+    taps /= np.abs(taps).sum()
+    window = jnp.asarray(np.hamming(n).astype(np.float32))
+    ref = np.asarray(pipelines.fir_fft_chain_planar(
+        xr, xi, jnp.asarray(taps), window, interpret=True))
+    got = np.asarray(pipelines.fir_fft_chain_planar(
+        xr, xi, jnp.asarray(taps), window, interpret=True, fused=True))
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 2e-6
