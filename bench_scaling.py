@@ -75,6 +75,12 @@ def main():
     def fft_run(x, mesh):
         return sharded_fft.sharded_fft(x, mesh)
 
+    def interp_run(x, mesh):
+        from basic_dsp_tpu.conv_types import SincFunction
+        from basic_dsp_tpu.parallel import sharded_interpolatef
+        return sharded_interpolatef(shard_time_axis(x, mesh),
+                                    SincFunction(), 1.5, 0.0, 10, mesh)
+
     h = _mk_signal(63, seed=1)
     proto = jnp.asarray(np.hamming(C * proto_t).astype(np.float32) / C)
 
@@ -85,6 +91,8 @@ def main():
             lambda x=_mk_signal(n): (lambda: chan_run(x, proto, mesh))),
         "sharded_fft": lambda n, mesh: (
             lambda x=_mk_signal(n): (lambda: fft_run(x, mesh))),
+        "sharded_interpolatef": lambda n, mesh: (
+            lambda x=_mk_signal(n): (lambda: interp_run(x, mesh))),
     }
 
     N_STRONG = 1 << 20
