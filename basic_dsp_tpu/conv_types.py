@@ -40,6 +40,11 @@ class RealImpulseResponse(_ValueIdentity):
     """Time-domain, real-valued convolution function (conv_types.rs:15-25)."""
 
     is_symmetric: bool = True
+    #: Real-valued ``calc`` output: safe to evaluate eagerly at trace time
+    #: (``jax.ensure_compile_time_eval``) even on backends where eager
+    #: complex ops are unsupported (axon tunnel, CLAUDE.md).  ``None`` on
+    #: unknown/user classes means "assume unsafe, stay staged".
+    _complex_valued: bool = False
 
     def calc(self, x):
         raise NotImplementedError
@@ -49,6 +54,7 @@ class RealFrequencyResponse(_ValueIdentity):
     """Frequency-domain, real-valued response (conv_types.rs:28-38)."""
 
     is_symmetric: bool = True
+    _complex_valued: bool = False
 
     def calc_freq(self, x):
         raise NotImplementedError
@@ -119,6 +125,7 @@ class ComplexImpulseResponse(_ValueIdentity):
     """Time-domain complex convolution function (conv_types.rs:41-51)."""
 
     is_symmetric: bool = False
+    _complex_valued: bool = True
 
     def calc(self, x):
         raise NotImplementedError
@@ -128,6 +135,7 @@ class ComplexFrequencyResponse(_ValueIdentity):
     """Frequency-domain complex response (conv_types.rs:54-64)."""
 
     is_symmetric: bool = False
+    _complex_valued: bool = True
 
     def calc_freq(self, x):
         raise NotImplementedError

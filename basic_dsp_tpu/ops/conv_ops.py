@@ -180,8 +180,11 @@ def _toeplitz_body(x, h, precision: str):
     start, length, c = _clip_kernel(n, m)
     # fold must be decided on h BEFORE any jnp op touches it: jax 0.9
     # stages ops on constants, so even h[..., slice] of a concrete h
-    # returns a tracer inside an enclosing trace.
-    fold = not isinstance(h, jax.core.Tracer)
+    # returns a tracer inside an enclosing trace.  Complex kernels stay
+    # staged: ensure_compile_time_eval would run the slice/reverse/gather
+    # below eagerly, which fails on backends where eager complex ops are
+    # unsupported (axon tunnel, CLAUDE.md).
+    fold = not isinstance(h, jax.core.Tracer) and not jnp.iscomplexobj(h)
     with jax.ensure_compile_time_eval() if fold else _nullcontext():
         h_eff = h[..., start:start + length]
         q = h_eff[..., ::-1]  # taps over forward offsets e = 0..m_eff-1
@@ -216,13 +219,18 @@ def _toeplitz_body(x, h, precision: str):
         idx = np.where(mask, e, 0)
 
         def _mk_ta():
-            return jnp.where(jnp.asarray(mask), q[..., idx], 0).astype(dtype)
+            return jnp.where(jnp.asarray(mask), q[..., idx], 0)
 
         if fold:
             with jax.ensure_compile_time_eval():
                 Ta = _mk_ta()
         else:
             Ta = _mk_ta()
+        # The cast to the (possibly complex) matmul dtype stays OUTSIDE
+        # the eager fold: an eager complex astype fails on the axon
+        # tunnel, and the staged per-call convert of a 128x128 tile is
+        # negligible.
+        Ta = Ta.astype(dtype)
         block = ext[..., 128 * a: 128 * a + R * 128].reshape(
             x.shape[:-1] + (R, 128))
         out = out + jnp.matmul(block, Ta,
@@ -244,7 +252,8 @@ def toeplitz_conv_multi(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     P, m = taps.shape
     n = x.shape[-1]
     start, length, c = _clip_kernel(n, m)
-    fold = not isinstance(taps, jax.core.Tracer)  # see _toeplitz_body
+    fold = (not isinstance(taps, jax.core.Tracer)
+            and not jnp.iscomplexobj(taps))  # see _toeplitz_body
     with jax.ensure_compile_time_eval() if fold else _nullcontext():
         q = taps[:, start:start + length][:, ::-1]
     m_eff = length
@@ -269,14 +278,14 @@ def toeplitz_conv_multi(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
         idx = np.where(mask, e, 0)
 
         def _mk_ta():
-            return jnp.where(jnp.asarray(mask)[None], q[:, idx],
-                             0).astype(dtype)
+            return jnp.where(jnp.asarray(mask)[None], q[:, idx], 0)
 
         if fold:
             with jax.ensure_compile_time_eval():
                 Ta = _mk_ta()
         else:
             Ta = _mk_ta()
+        Ta = Ta.astype(dtype)  # staged cast — see _toeplitz_body
         block = ext[..., 128 * a: 128 * a + R * 128].reshape(
             x.shape[:-1] + (R, 128))
         out = out + jnp.einsum("...rk,pkl->...prl", block, Ta,

@@ -8,12 +8,61 @@ matrix), which runs on the MXU.
 """
 from __future__ import annotations
 
+import contextlib
+from fractions import Fraction
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import conv_ops, fft_ops, reorg_ops
 from .. import config
+
+
+def parse_rational_factor(factor: float, who: str, max_den: int = 64):
+    """``(P, Q)`` for an exactly-rational resampling factor, or raise.
+
+    Shared by the rational fast paths (this module), the sequence-parallel
+    resampler (parallel.sharded) and StreamingResampler so the factor
+    grammar cannot drift between them."""
+    frac = Fraction(float(factor)).limit_denominator(max_den)
+    if float(frac) != float(factor) or frac <= 0:
+        raise ValueError(f"{who} needs an exact rational factor P/Q "
+                         f"(denominator <= {max_den}); got {factor}")
+    return frac.numerator, frac.denominator
+
+
+def polyphase_taps(fun, P: int, Q: int, delay: float, L: int, real_dtype):
+    """Per-phase tap vectors for the P/Q polyphase resampler.
+
+    With output index ``i = k*P + p``: ``floor(i*Q/P) = k*Q + offs[p]``
+    and ``frac = (p*Q mod P)/P``, so phase ``p`` correlates x against
+    ``fun(s - frac[p] + delay)``, ``s = -L..L`` (the scalar path's tap
+    alignment, interpolation.rs:92-131).  Returns ``(taps (P, 2L+1),
+    offs)``.  Integer factors are the ``Q = 1`` case (offs all zero).
+
+    Taps depend only on static resampler parameters, so for real-valued
+    conv functions they are folded at COMPILE time under an enclosing jit
+    (jax 0.9 stages jnp ops on constants otherwise — a ~0.15 ms/call
+    in-program scatter, measured on v5e).  Complex-valued functions stay
+    STAGED: ``ensure_compile_time_eval`` runs ``fun.calc`` eagerly, which
+    fails on backends where eager complex ops are unsupported (axon
+    tunnel, CLAUDE.md).  Host-callback functions (``_no_jit``) sample at
+    host-built f64 numpy points."""
+    xp = np if getattr(fun, "_no_jit", False) else jnp
+    rdtype = np.float64 if xp is np else real_dtype
+    p = np.arange(P)
+    fracs = ((p * Q) % P) / P
+    offs = tuple(int(o) for o in (p * Q) // P)
+    fold = getattr(fun, "_complex_valued", None) is False
+    ctx = (jax.ensure_compile_time_eval() if fold
+           else contextlib.nullcontext())
+    with ctx:
+        s = xp.arange(-L, L + 1, dtype=rdtype)
+        taps = jnp.asarray(
+            fun.calc(s[None, :] - xp.asarray(fracs, dtype=rdtype)[:, None]
+                     + delay))
+    return taps, offs
 
 
 def interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
@@ -237,20 +286,10 @@ def _interpolatef_integer_spectral(x, fun, factor, delay, L):
     no gathers (TPU gathers are slow).
     """
     n = x.shape[-1]
-    xp = np if getattr(fun, "_no_jit", False) else jnp
-    rdtype = np.float64 if xp is np else jnp.zeros((), x.dtype).real.dtype
-    # Taps depend only on static resampler parameters; evaluate them at
-    # COMPILE time even under an enclosing user jit (jax stages jnp ops on
-    # constants into the program otherwise, and the direct path's band
-    # matrix would then be rebuilt by a ~0.15 ms in-program scatter per
-    # call — measured on v5e at the modulation-chain shape).
-    with jax.ensure_compile_time_eval():
-        s = xp.arange(-L, L + 1, dtype=rdtype)
-        p = xp.arange(factor, dtype=rdtype)
-        taps = jnp.asarray(
-            fun.calc(s[None, :] - p[:, None] / factor + delay))  # (F, 2L+1)
+    taps, offs = polyphase_taps(fun, factor, 1, delay, L,
+                                jnp.zeros((), x.dtype).real.dtype)
     if _direct_eligible(taps, factor, 1, L):
-        out = _interpolatef_direct(x, taps, factor, 1, (0,) * factor, L,
+        out = _interpolatef_direct(x, taps, factor, 1, offs, L,
                                    factor * n)
         if not jnp.iscomplexobj(x):
             return jnp.real(out).astype(x.dtype)
@@ -259,7 +298,7 @@ def _interpolatef_integer_spectral(x, fun, factor, delay, L):
     # Phase interleave via the MXU mux (Q=1, no decimation): a plain
     # stack(-1).reshape interleave relayouts through a minor dim of F and
     # costs ~4 ms per 3M samples; the mux is a dense matmul.
-    out = reorg_ops.phase_mux(corr, 1, (0,) * factor, factor * n)
+    out = reorg_ops.phase_mux(corr, 1, offs, factor * n)
     if not jnp.iscomplexobj(x):
         return jnp.real(out).astype(x.dtype)
     return out
@@ -278,20 +317,10 @@ def _interpolatef_rational_spectral(x, fun, P, Q, delay, L):
     scalar formula.  Requires Q | n.
     """
     n = x.shape[-1]
-    xp = np if getattr(fun, "_no_jit", False) else jnp
-    rdtype = np.float64 if xp is np else jnp.zeros((), x.dtype).real.dtype
-    p = np.arange(P)
-    fracs = ((p * Q) % P) / P
-    offs = (p * Q) // P
-    # Compile-time tap evaluation — see _interpolatef_integer_spectral.
-    with jax.ensure_compile_time_eval():
-        s = xp.arange(-L, L + 1, dtype=rdtype)
-        taps = jnp.asarray(
-            fun.calc(s[None, :] - xp.asarray(fracs, dtype=rdtype)[:, None]
-                     + delay))                                    # (P, 2L+1)
+    taps, offs = polyphase_taps(fun, P, Q, delay, L,
+                                jnp.zeros((), x.dtype).real.dtype)
     if _direct_eligible(taps, P, Q, L):
-        out = _interpolatef_direct(x, taps, P, Q, tuple(int(o) for o in offs),
-                                   L, n * P // Q)
+        out = _interpolatef_direct(x, taps, P, Q, offs, L, n * P // Q)
         if not jnp.iscomplexobj(x):
             return jnp.real(out).astype(x.dtype)
         return out

@@ -49,7 +49,8 @@ def _merged_tap_rows(prototype: jnp.ndarray, C: int) -> jnp.ndarray:
     t = prototype.shape[-1] // C
     # Constant prototypes fold at compile time (jax 0.9 stages jnp ops on
     # constants into the program otherwise — see conv_ops._toeplitz_body).
-    fold = not isinstance(prototype, jax.core.Tracer)
+    fold = (not isinstance(prototype, jax.core.Tracer)
+            and not jnp.iscomplexobj(prototype))  # see conv_ops._toeplitz_body
     with jax.ensure_compile_time_eval() if fold else nullcontext():
         h_rc = prototype.reshape(t, C)                # h_rc[r, p] = h[p+r*C]
         perm = (C - jnp.arange(C)) % C

@@ -128,7 +128,6 @@ def sharded_interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
     Requires ``len(x) % mesh.size == 0`` and a local shard divisible by
     ``128*Q`` (the output-block geometry) and longer than the halo.
     """
-    from fractions import Fraction
     from ..ops import interp_ops
 
     n = x.shape[-1]
@@ -138,12 +137,8 @@ def sharded_interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
     ln = n // d
     delay = delay / delta
     L = min(conv_len, n // 2)
-    frac = Fraction(float(interpolation_factor)).limit_denominator(64)
-    if float(frac) != float(interpolation_factor) or frac <= 0:
-        raise ValueError("sharded_interpolatef needs an exact rational "
-                         "factor P/Q (denominator <= 64); got "
-                         f"{interpolation_factor}")
-    P, Q = frac.numerator, frac.denominator
+    P, Q = interp_ops.parse_rational_factor(interpolation_factor,
+                                            "sharded_interpolatef")
     if 2 * L + 1 > ln:
         raise ValueError("shard shorter than the interpolation window; "
                          "use fewer devices")
@@ -151,15 +146,7 @@ def sharded_interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
         raise ValueError(f"local shard length {ln} must be divisible by "
                          f"128*Q = {128 * Q}")
     rdtype = jnp.zeros((), x.dtype).real.dtype
-    p = np.arange(P)
-    fracs = ((p * Q) % P) / P
-    offs = tuple(int(o) for o in (p * Q) // P)
-    # Compile-time tap evaluation (see interp_ops) — taps depend only on
-    # static resampler parameters.
-    with jax.ensure_compile_time_eval():
-        s = jnp.arange(-L, L + 1, dtype=rdtype)
-        taps = jnp.asarray(fun.calc(
-            s[None, :] - jnp.asarray(fracs, dtype=rdtype)[:, None] + delay))
+    taps, offs = interp_ops.polyphase_taps(fun, P, Q, delay, L, rdtype)
     if isinstance(taps, jax.core.Tracer) or jnp.iscomplexobj(taps):
         raise ValueError("sharded_interpolatef needs concrete real taps")
     M = interp_ops._direct_band_matrix(taps, P, Q, offs, L,

@@ -156,24 +156,13 @@ class StreamingResampler:
 
     def __init__(self, fun, factor: float, delay: float = 0.0,
                  conv_len: int = 10):
-        from fractions import Fraction
         import numpy as np
         from .ops import interp_ops
 
-        frac = Fraction(float(factor)).limit_denominator(64)
-        if float(frac) != float(factor) or frac <= 0:
-            raise ValueError("StreamingResampler needs an exact rational "
-                             f"factor P/Q (denominator <= 64); got {factor}")
-        P, Q = frac.numerator, frac.denominator
+        P, Q = interp_ops.parse_rational_factor(factor, "StreamingResampler")
         L = int(conv_len)
-        p = np.arange(P)
-        fracs = ((p * Q) % P) / P
-        offs = tuple(int(o) for o in (p * Q) // P)
-        with jax.ensure_compile_time_eval():
-            s = jnp.arange(-L, L + 1, dtype=jnp.float32)
-            taps = jnp.asarray(fun.calc(
-                s[None, :] - jnp.asarray(fracs, jnp.float32)[:, None]
-                + delay))
+        taps, offs = interp_ops.polyphase_taps(fun, P, Q, delay, L,
+                                               jnp.float32)
         if isinstance(taps, jax.core.Tracer) or jnp.iscomplexobj(taps):
             raise ValueError("StreamingResampler needs concrete real taps")
         self.M = interp_ops._direct_band_matrix(taps, P, Q, offs, L,

@@ -227,3 +227,34 @@ def test_convolve_signal_delta_mismatch():
         a.convolve_signal(b)
     ok = bd.to_complex_time_vec(create_complex_data(2, 5), delta=1.05)
     a.convolve_signal(ok)  # within 10% — fine
+
+
+def test_toeplitz_fold_policy():
+    """Concrete REAL kernels fold their tap matrices at compile time (no
+    staged gather in the jaxpr); concrete COMPLEX kernels stay staged —
+    the eager fold crashes on backends without eager complex support
+    (axon tunnel; regression for the round-2 review)."""
+    import jax
+    import jax.numpy as jnp
+    from basic_dsp_tpu.ops import conv_ops
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=256)
+                    .astype(np.float32))
+    h_real = jnp.asarray(np.hamming(9).astype(np.float32))
+    h_cplx = h_real.astype(jnp.complex64) * (1 + 0.5j)
+
+    jp_real = jax.make_jaxpr(
+        lambda v: conv_ops._toeplitz_body(v, h_real, "highest"))(x)
+    jp_cplx = jax.make_jaxpr(
+        lambda v: conv_ops._toeplitz_body(v.astype(jnp.complex64), h_cplx,
+                                          "highest"))(x)
+    assert "gather" not in str(jp_real)
+    assert "gather" in str(jp_cplx)
+
+    # And the staged complex path is still correct vs the spectral path.
+    out = jax.jit(lambda v: conv_ops._toeplitz_body(
+        v.astype(jnp.complex64), h_cplx, "highest"))(x)
+    oracle = conv_ops.convolve_signal_fft(x.astype(jnp.complex64), h_cplx,
+                                          True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               atol=1e-4)

@@ -382,3 +382,51 @@ def test_interpolatef_direct_batch_dims():
         ref = interp_ops.interpolatef(jnp.asarray(rows[r]),
                                       bd.SincFunction(), 2.0, 0.0, 6, 1.0)
         assert_vector_eq(np.asarray(out[r]), np.asarray(ref), tol=1e-9)
+
+
+def test_polyphase_taps_staging_policy():
+    """Real conv functions fold their tap build at compile time; complex-
+    valued ones stay STAGED — ensure_compile_time_eval would run fun.calc
+    eagerly, which fails on backends where eager complex ops are
+    unsupported (axon tunnel; regression for the round-2 review)."""
+    import jax
+    import jax.numpy as jnp
+    from basic_dsp_tpu.ops import interp_ops
+    import basic_dsp_tpu.conv_types as ct
+
+    seen = {}
+    lut = ct.ComplexTimeLinearTableLookup.from_raw_parts(
+        np.arange(9, dtype=np.complex64), 1.0, False)
+
+    def probe(x):
+        sinc_taps, offs = interp_ops.polyphase_taps(
+            ct.SincFunction(), 3, 2, 0.0, 4, jnp.float32)
+        lut_taps, _ = interp_ops.polyphase_taps(lut, 3, 2, 0.0, 4,
+                                                jnp.float32)
+        seen["offs"] = offs
+        seen["sinc_traced"] = isinstance(sinc_taps, jax.core.Tracer)
+        seen["lut_traced"] = isinstance(lut_taps, jax.core.Tracer)
+        return x
+
+    jax.jit(probe)(jnp.zeros(4))
+    assert seen["offs"] == (0, 0, 1)
+    assert not seen["sinc_traced"]
+    assert seen["lut_traced"]
+
+
+def test_interpolatef_complex_fun_matches_gather():
+    """A complex-valued impulse response rides the staged per-phase
+    correlation path and must agree with the exact gather formulation."""
+    import jax.numpy as jnp
+    from basic_dsp_tpu.ops import interp_ops
+    import basic_dsp_tpu.conv_types as ct
+
+    n, L, factor = 64, 4, 2
+    t = np.arange(-L, L + 1) * 0.5
+    table = (np.sinc(t) * np.exp(1j * 0.3 * t)).astype(np.complex64)
+    fun = ct.ComplexTimeLinearTableLookup.from_raw_parts(table, 0.5, False)
+    x = jnp.asarray(multitone(3, n).astype(np.complex64))
+    out = interp_ops.interpolatef(x, fun, float(factor), 0.0, L, 1.0)
+    oracle = interp_ops._interpolatef_gather(x, fun, float(factor), 0.0, L,
+                                             factor * n)
+    assert_vector_eq(np.asarray(out), np.asarray(oracle), tol=1e-5)
