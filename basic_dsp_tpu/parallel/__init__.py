@@ -16,4 +16,5 @@ from .sharded import (
     sharded_sum,
     shard_time_axis,
 )
-from .channelizer import polyphase_channelizer, fm_demodulate
+from .channelizer import (polyphase_channelizer, fm_demodulate,
+                          sharded_channelize_and_demod)
