@@ -195,9 +195,16 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
 
 
 def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
-                 fmr_ref, fmp_ref, fmm_ref, mag_ref, scratch, *, L2, rows):
+                 fmr_ref, fmp_ref, fmm_ref, mag_ref, scratch, *, L2, rows,
+                 transposed=False):
     """Shared kernel tail: Stockham+MXU row FFT, inner twiddle W, lane
-    DFT-128 (with the fftshift column rotation folded), magnitude."""
+    DFT-128 (with the fftshift column rotation folded), magnitude.
+
+    ``transposed``: write the block as (LANES, L2, rows) into the
+    grid-resident (LANES, L2, n1) output at row-slot ``program_id(0)`` —
+    the natural-spectrum-order layout, eliminating the separate XLA
+    magnitude transpose (16 MB read + 16 MB write at 4M) at the cost of
+    an in-VMEM block transpose per grid step."""
     gr, gi = _stockham_axis(gr, gi, L2, scratch,
                             fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]))
     wr = wr_ref[...][None, :, :]
@@ -214,12 +221,17 @@ def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
     k3 = _dot_f32(hi2, fp_ref[...])
     dr = k1 - k3
     di = k1 + k2
-    mag_ref[...] = jnp.sqrt(dr * dr + di * di).reshape(rows, L2, LANES)
+    mag = jnp.sqrt(dr * dr + di * di).reshape(rows, L2, LANES)
+    if transposed:
+        i = pl.program_id(0)
+        mag_ref[:, :, pl.ds(i * rows, rows)] = mag.transpose(2, 1, 0)
+    else:
+        mag_ref[...] = mag
 
 
 def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                    fmr_ref, fmp_ref, fmm_ref, mag_ref, sra, sia, srb, sib,
-                   *, L2, rows, tw_refs=()):
+                   *, L2, rows, tw_refs=(), transposed=False):
     gr = br_ref[...].reshape(rows, L2, LANES)
     gi = bi_ref[...].reshape(rows, L2, LANES)
     if tw_refs:
@@ -235,7 +247,8 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
         gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
     _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref,
-                 ((sra, sia), (srb, sib)), L2=L2, rows=rows)
+                 ((sra, sia), (srb, sib)), L2=L2, rows=rows,
+                 transposed=transposed)
 
 
 def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
@@ -244,7 +257,7 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
                   fmr_ref, fmp_ref, fmm_ref, mag_ref,
                   bre, bim, pr0, pi0, pr1, pi1,
                   sra, sia, srb, sib, dsem,
-                  *, L2, rows, n1, n2, panel):
+                  *, L2, rows, n1, n2, panel, transposed=False):
     """Four-step spectrum with stage 1 *inside* the kernel: B = F1 @ A
     never round-trips HBM.  A stays in HBM (memory_space=ANY) and is
     DMA'd in (n1, panel) column panels during grid step 0; the stage-1
@@ -301,13 +314,16 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
     gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
     _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref,
-                 ((sra, sia), (srb, sib)), L2=L2, rows=rows)
+                 ((sra, sia), (srb, sib)), L2=L2, rows=rows,
+                 transposed=transposed)
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("shift", "interpret", "transposed"))
 def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                interpret: bool = False, Tr: jnp.ndarray = None,
-               Ti: jnp.ndarray = None) -> jnp.ndarray:
+               Ti: jnp.ndarray = None,
+               transposed: bool = False) -> jnp.ndarray:
     """|FFT(rows)| (optionally global-fftshift-folded) of planar rows.
 
     Br, Bi: (n1, n2) f32 planes of the post-stage-1 four-step data —
@@ -318,6 +334,13 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     M[k1, k1', k2s] = |X_row[k1' + L2*((k2s + L2s) % 128)]| — flatten via
     ``M.transpose(2, 1, 0).reshape(-1)`` for the natural shifted-spectrum
     order.
+
+    ``transposed=True`` makes the KERNEL produce that layout directly:
+    returns (128, L2, n1) so the natural order is one ``reshape(-1)`` —
+    the whole (128, L2, n1) output stays VMEM-resident across grid steps
+    (16 MB at 4M) and each step writes its block through an in-VMEM
+    transpose, trading the 32 MB HBM transpose pass for VPU relayouts.
+    Gated off by default pending an on-chip A/B (probe_transposed.py).
     """
     n1, n2 = Br.shape
     L2 = n2 // LANES
@@ -340,8 +363,17 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                           memory_space=pltpu.VMEM)
     f_spec = pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((rows, L2, LANES), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if transposed:
+        # Grid-resident accumulator: the index map is constant, so Mosaic
+        # keeps the whole (128, L2, n1) block in VMEM across steps and
+        # writes it back once after the last step.
+        out_spec = pl.BlockSpec((LANES, L2, n1), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((LANES, L2, n1), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((rows, L2, LANES), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n1, L2, LANES), jnp.float32)
     scratch = [pltpu.VMEM((rows, n2), jnp.float32)] * 4
     # Mosaic's default scoped-VMEM stack limit is 16 MB; the stage chain's
     # live temporaries exceed it at L2 >= 256 (measured 30.4 MB).  v5e has
@@ -350,7 +382,8 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     fm_spec = pl.BlockSpec((m0, m0), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
-    base = functools.partial(_rowfft_kernel, L2=L2, rows=rows)
+    base = functools.partial(_rowfft_kernel, L2=L2, rows=rows,
+                             transposed=transposed)
     if fold_tw:
         def kernel(br, bi, tr, ti, wr, wi, fr, fm, fp, fmr, fmp, fmm,
                    mag, *scr):
@@ -369,17 +402,19 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n1, L2, LANES), jnp.float32),
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=params,
         interpret=interpret,
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("shift", "interpret", "transposed"))
 def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
                        shift: bool = True,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       transposed: bool = False) -> jnp.ndarray:
     """|fftshift(FFT)| of the (n1, n2)-reshaped planar signal with BOTH
     four-step stages inside one Pallas kernel: stage-1 DFT (3-mult MXU
     dots over HBM-DMA'd column panels into a persistent VMEM scratch),
@@ -416,15 +451,22 @@ def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
                            memory_space=pltpu.VMEM)
     fm_spec = pl.BlockSpec((m0, m0), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((rows, L2, LANES), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if transposed:
+        out_spec = pl.BlockSpec((LANES, L2, n1), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((LANES, L2, n1), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((rows, L2, LANES), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n1, L2, LANES), jnp.float32)
     scratch = ([pltpu.VMEM((n1, n2), jnp.float32)] * 2      # B planes
                + [pltpu.VMEM((n1, panel), jnp.float32)] * 4  # 2x2 DMA slots
                + [pltpu.VMEM((rows, n2), jnp.float32)] * 4   # ping-pong
                + [pltpu.SemaphoreType.DMA((2, 2))])
     params = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
     kernel = functools.partial(_fused_kernel, L2=L2, rows=rows,
-                               n1=n1, n2=n2, panel=panel)
+                               n1=n1, n2=n2, panel=panel,
+                               transposed=transposed)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -433,7 +475,7 @@ def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
                   w_spec, w_spec, f_spec, f_spec, f_spec,
                   fm_spec, fm_spec, fm_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n1, L2, LANES), jnp.float32),
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=params,
         interpret=interpret,
@@ -449,7 +491,8 @@ def supported(n1: int, n2: int) -> bool:
 
 def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
                             interpret: bool = False,
-                            fold_twiddle: bool = False) -> jnp.ndarray:
+                            fold_twiddle: bool = False,
+                            transposed: bool = False) -> jnp.ndarray:
     """|fftshift(FFT(xw))| — the four-step DIF spectrum with the inner
     batched FFT + twiddle + |.| as the Pallas row-FFT kernel.
 
@@ -475,11 +518,15 @@ def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
         # runtimes with different fusion behavior.
         M = rowfft_mag(jnp.real(B), jnp.imag(B), shift=True,
                        interpret=interpret,
-                       Tr=jnp.asarray(Tr), Ti=jnp.asarray(Ti))
+                       Tr=jnp.asarray(Tr), Ti=jnp.asarray(Ti),
+                       transposed=transposed)
     else:
         T = jax.lax.complex(jnp.asarray(Tr), jnp.asarray(Ti))
         C = B * T
         M = rowfft_mag(jnp.real(C), jnp.imag(C), shift=True,
-                       interpret=interpret)
+                       interpret=interpret, transposed=transposed)
+    if transposed:
+        # Kernel already produced (k2s, k1', k1): natural order is flat.
+        return M.reshape(-1)
     # M[k1, k1', k2s] -> flat index (L2*k2s + k1')*n1 + k1 == shifted X.
     return M.transpose(2, 1, 0).reshape(-1)

@@ -63,11 +63,12 @@ def windowed_spectrum(x: jnp.ndarray, window: jnp.ndarray):
     return _shifted_mag(work * window.astype(work.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "interpret", "fused"))
+@functools.partial(jax.jit, static_argnames=("n1", "interpret", "fused",
+                                              "transposed"))
 def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
                          taps: jnp.ndarray, window: jnp.ndarray,
                          n1: int = 0, interpret: bool = False,
-                         fused: bool = False):
+                         fused: bool = False, transposed: bool = False):
     """All-planar flagship chain: centered real-tap FIR + window + shifted
     FFT magnitude, with complex data carried as (re, im) f32 planes from
     entry to exit — interleaved complex64 is never materialized.
@@ -105,7 +106,10 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
         # Stage 1 + twiddle + row FFT + shift + |.| all inside the Pallas
         # kernel; B never round-trips HBM (spectrum_pallas._fused_kernel).
         M = spectrum_pallas.fourstep_mag_fused(Ar, Ai, shift=True,
-                                               interpret=interpret)
+                                               interpret=interpret,
+                                               transposed=transposed)
+        if transposed:
+            return M.reshape(-1)
         return M.transpose(2, 1, 0).reshape(-1)
     # Stage-1 DFT over rows, explicit plane matmuls — 3-mult (Karatsuba)
     # complex form with the left constant F: 3 MXU dots instead of 4
@@ -124,5 +128,9 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     Cr = Br * Tr - Bi * Ti
     Ci = Br * Ti + Bi * Tr
     from .kernels.spectrum_pallas import rowfft_mag
-    M = rowfft_mag(Cr, Ci, shift=True, interpret=interpret)
+    M = rowfft_mag(Cr, Ci, shift=True, interpret=interpret,
+                   transposed=transposed)
+    if transposed:
+        # Kernel wrote (k2s, k1', k1) directly: natural order is flat.
+        return M.reshape(-1)
     return M.transpose(2, 1, 0).reshape(-1)

@@ -127,3 +127,39 @@ def test_fourstep_mag_fused_matches_rowfft_path():
         xr, xi, jnp.asarray(taps), window, interpret=True, fused=True))
     assert got.shape == ref.shape
     assert np.max(np.abs(got - ref)) / np.max(ref) < 2e-6
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_spectrum_transposed_output_matches(fold):
+    """The transposed-output variant (grid-resident accumulator block +
+    in-VMEM block transpose) must produce the identical flat spectrum."""
+    n = 1 << 16
+    rng = np.random.default_rng(5)
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    xd = jnp.asarray(x)
+    ref = np.asarray(jax.jit(lambda z: sp.dif_spectrum_mag_pallas(
+        z, interpret=True, fold_twiddle=fold))(xd))
+    got = np.asarray(jax.jit(lambda z: sp.dif_spectrum_mag_pallas(
+        z, interpret=True, fold_twiddle=fold, transposed=True))(xd))
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_planar_chain_transposed_matches(fused):
+    """fir_fft_chain_planar(transposed=True) — kernel-side natural-order
+    output — must equal the default chain exactly."""
+    from basic_dsp_tpu import pipelines
+    n, m = 1 << 16, 64
+    rng = np.random.default_rng(7)
+    xr = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    taps = rng.normal(size=m).astype(np.float32)
+    taps /= np.abs(taps).sum()
+    window = jnp.asarray(np.hamming(n).astype(np.float32))
+    ref = np.asarray(pipelines.fir_fft_chain_planar(
+        xr, xi, jnp.asarray(taps), window, interpret=True, fused=fused))
+    got = np.asarray(pipelines.fir_fft_chain_planar(
+        xr, xi, jnp.asarray(taps), window, interpret=True, fused=fused,
+        transposed=True))
+    np.testing.assert_array_equal(got, ref)
