@@ -54,6 +54,7 @@ supported on the axon TPU tunnel, so the signal enters as a real (re, im)
 pair and becomes complex inside jit.
 """
 import json
+import os
 import sys
 import time
 
@@ -63,6 +64,16 @@ import numpy as np
 ITERS = 50
 WARM = 2
 REPS = 5
+
+# Experiment switches for on-chip A/Bs (defaults == the validated
+# configuration; tpu_revalidate.sh flips these without editing the file):
+#   BENCH_CARRY=array   full-spectrum feedback carry instead of mag[0]
+#                       (probe_bench_dce.py decides which is honest)
+#   BENCH_TRANSPOSED=1  kernel-side natural-order output (probe_transposed)
+#   BENCH_FUSED=1       fully-fused stage-1 megakernel (probe_fused_db)
+CARRY = os.environ.get("BENCH_CARRY", "scalar")
+TRANSPOSED = os.environ.get("BENCH_TRANSPOSED", "") == "1"
+FUSED = os.environ.get("BENCH_FUSED", "") == "1"
 
 
 def main():
@@ -104,31 +115,38 @@ def main():
                 # 0.598 ms/iter vs 0.879 for the complex-typed chain).
                 mag = pipelines.fir_fft_chain_planar.__wrapped__(
                     x_re * (1.0 + fb * 1e-30), x_im, taps_re, window,
-                    n1=64)
-                return mag[0]
+                    n1=64, fused=FUSED, transposed=TRANSPOSED)
+                # scalar carry: the previous spectrum's first sample keeps
+                # every upstream stage live (each DFT output depends on
+                # every input); array carry folds EVERY output element
+                # back in, additionally keeping the final reorder live
+                # (probe_bench_dce.py A/Bs the two).
+                return mag[0] if CARRY == "scalar" else mag * 1e-3
 
-            # The loop carry is the previous iteration's spectrum sample:
-            # it is the only value that changes across iterations, and
-            # returning anything independent of it lets XLA dead-code-
-            # eliminate the entire loop (measured: a 150-iter run
-            # "finishing" faster than a 50-iter one).
-            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            init = (jnp.float32(0.0) if CARRY == "scalar"
+                    else jnp.zeros((n,), jnp.float32))
+            return jax.lax.fori_loop(0, iters, body, init)
 
         return chain_iters
 
     run1, run3 = make(ITERS), make(3 * ITERS)
 
-    # Host fetch forces completion (block_until_ready does not reliably
-    # block through the axon tunnel).
+    def fetch(run):
+        # Host fetch forces completion (block_until_ready does not
+        # reliably block through the axon tunnel).  Array-carry runs
+        # return the full spectrum; reduce on-device, fetch one scalar.
+        out = run(x_re, x_im)
+        return float(out if out.ndim == 0 else out[0])
+
     for _ in range(WARM):
-        float(run1(x_re, x_im))
-        float(run3(x_re, x_im))
+        fetch(run1)
+        fetch(run3)
 
     def med(run):
         ts = []
         for _ in range(REPS):
             start = time.perf_counter()
-            float(run(x_re, x_im))
+            fetch(run)
             ts.append(time.perf_counter() - start)
         ts.sort()
         spread = (ts[-1] - ts[0]) / ts[0] * 100
