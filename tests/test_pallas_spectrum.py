@@ -163,3 +163,20 @@ def test_planar_chain_transposed_matches(fused):
         xr, xi, jnp.asarray(taps), window, interpret=True, fused=fused,
         transposed=True))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("n1,n2", [(8, 32768), (16, 4096)])
+def test_rowfft_mag_transposed_layout(n1, n2):
+    """rowfft_mag(transposed=True) returns (128, L2, n1) equal to the
+    default output's transpose, including at L2 >= 256 (the MXU DFT-m0
+    finish path the flagship geometry uses)."""
+    rng = np.random.default_rng(9)
+    x = (rng.normal(size=(n1, n2)) + 1j * rng.normal(size=(n1, n2))
+         ).astype(np.complex64)
+    M = np.asarray(sp.rowfft_mag(jnp.asarray(x.real), jnp.asarray(x.imag),
+                                 shift=True, interpret=True))
+    Mt = np.asarray(sp.rowfft_mag(jnp.asarray(x.real), jnp.asarray(x.imag),
+                                  shift=True, interpret=True,
+                                  transposed=True))
+    assert Mt.shape == (sp.LANES, n2 // sp.LANES, n1)
+    np.testing.assert_array_equal(Mt, M.transpose(2, 1, 0))
