@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -141,7 +142,7 @@ class ComplexFrequencyResponse(_ValueIdentity):
         raise NotImplementedError
 
 
-def _lut_lookup(table: jnp.ndarray, delta: float, x):
+def _lut_lookup(table, delta: float, x):
     """Linear interpolation between table bins.
 
     Parity with reference conv_types.rs:127-181: position is mapped via
@@ -149,6 +150,9 @@ def _lut_lookup(table: jnp.ndarray, delta: float, x):
     neighbor falling outside) returns 0 / the edge bin exactly as the scalar
     logic does.
     """
+    # Tables arrive as HOST numpy (see _LinearTableLookup); the conversion
+    # stages the (possibly complex) constant inside an enclosing trace.
+    table = jnp.asarray(table)
     x = jnp.asarray(x)
     length = table.shape[0]
     center = length // 2
@@ -175,11 +179,18 @@ class _LinearTableLookup:
     """Shared base for the four lookup-table flavors (conv_types.rs:66-124)."""
 
     def __init__(self, table, delta: float, is_symmetric: bool):
-        self._table = jnp.asarray(table)
+        # The table lives on the HOST as numpy: an eager
+        # ``jnp.asarray(complex_table)`` is a host->device transfer, which
+        # fails on backends where complex cannot cross the boundary (axon
+        # tunnel, CLAUDE.md).  Numpy tables stage cleanly as constants
+        # inside traces (_lut_lookup) and convert lazily elsewhere, and
+        # the construction-time transforms (to_complex/fft/ifft) run in
+        # numpy so building complex kernels never touches the device.
+        self._table = np.asarray(jax.device_get(table))
         self._delta = float(delta)
         self.is_symmetric = bool(is_symmetric)
         self._value_hash = hash((type(self), self._delta, self.is_symmetric,
-                                 np.asarray(self._table).tobytes()))
+                                 self._table.tobytes()))
 
     def _key(self):
         return (type(self), self._value_hash)
@@ -202,9 +213,11 @@ class _LinearTableLookup:
         samples ``2*len+1`` points at ``i*delta`` for ``i in -len..len``."""
         i = np.arange(-length, length + 1)
         x = jnp.asarray(i * float(delta))
-        values = fun.calc_freq(x) if freq else fun.calc(x)
+        values = np.asarray(jax.device_get(
+            fun.calc_freq(x) if freq else fun.calc(x)))
         if to_complex:
-            values = values.astype(jnp.result_type(values, jnp.complex64))
+            values = values.astype(np.result_type(values.dtype,
+                                                  np.complex64))
         return cls(values, delta, fun.is_symmetric)
 
 
@@ -225,18 +238,20 @@ class RealTimeLinearTableLookup(_LinearTableLookup, RealImpulseResponse):
     def to_complex(self) -> "ComplexTimeLinearTableLookup":
         """conv_types.rs:223-253 — re-tag the real table as complex."""
         return ComplexTimeLinearTableLookup(
-            self._table.astype(jnp.result_type(self._table, jnp.complex64)),
+            self._table.astype(np.result_type(self._table.dtype,
+                                              np.complex64)),
             self._delta, self.is_symmetric)
 
     def fft(self) -> "RealFrequencyLinearTableLookup":
-        """conv_types.rs:323-354 — magnitude spectrum of the table."""
-        from .ops import fft_ops
+        """conv_types.rs:323-354 — magnitude spectrum of the table.
+        Host numpy (== fft_ops.fft_shifted semantics): construction-time
+        transforms never touch the device — see _LinearTableLookup."""
         n = self._table.shape[0]
-        freq = fft_ops.fft_shifted(self._table.astype(
-            jnp.result_type(self._table, jnp.complex64)))
+        freq = np.fft.fftshift(np.fft.fft(self._table))
         new_delta = self._delta * n
         return RealFrequencyLinearTableLookup(
-            jnp.abs(freq), new_delta, self.is_symmetric)
+            np.abs(freq).astype(self._table.dtype), new_delta,
+            self.is_symmetric)
 
 
 class RealFrequencyLinearTableLookup(_LinearTableLookup, RealFrequencyResponse):
@@ -255,7 +270,8 @@ class RealFrequencyLinearTableLookup(_LinearTableLookup, RealFrequencyResponse):
 
     def to_complex(self) -> "ComplexFrequencyLinearTableLookup":
         return ComplexFrequencyLinearTableLookup(
-            self._table.astype(jnp.result_type(self._table, jnp.complex64)),
+            self._table.astype(np.result_type(self._table.dtype,
+                                              np.complex64)),
             self._delta, self.is_symmetric)
 
 
@@ -275,14 +291,15 @@ class ComplexTimeLinearTableLookup(_LinearTableLookup, ComplexImpulseResponse):
 
     def to_real(self) -> RealTimeLinearTableLookup:
         """conv_types.rs:255-287 — drop imaginary parts."""
-        return RealTimeLinearTableLookup(jnp.real(self._table), self._delta,
+        return RealTimeLinearTableLookup(self._table.real, self._delta,
                                          self.is_symmetric)
 
     def fft(self) -> "ComplexFrequencyLinearTableLookup":
-        """conv_types.rs:289-321 — FFT (with fft shift) of the table."""
-        from .ops import fft_ops
+        """conv_types.rs:289-321 — FFT (with fft shift) of the table, in
+        host numpy (== fft_ops.fft_shifted semantics)."""
         n = self._table.shape[0]
-        freq = fft_ops.fft_shifted(self._table)
+        freq = np.fft.fftshift(np.fft.fft(self._table)).astype(
+            self._table.dtype)
         return ComplexFrequencyLinearTableLookup(freq, self._delta * n,
                                                  self.is_symmetric)
 
@@ -303,13 +320,15 @@ class ComplexFrequencyLinearTableLookup(_LinearTableLookup,
         return cls(table, delta, is_symmetric)
 
     def to_real(self) -> RealFrequencyLinearTableLookup:
-        return RealFrequencyLinearTableLookup(jnp.real(self._table),
+        return RealFrequencyLinearTableLookup(self._table.real,
                                               self._delta, self.is_symmetric)
 
     def ifft(self) -> ComplexTimeLinearTableLookup:
-        """conv_types.rs:356-388 — inverse FFT of the table."""
-        from .ops import fft_ops
+        """conv_types.rs:356-388 — inverse FFT of the table, in host
+        numpy (== fft_ops.ifft_shifted semantics: 1/N-scaled inverse of
+        the pre-shifted spectrum)."""
         n = self._table.shape[0]
-        time = fft_ops.ifft_shifted(self._table)
+        time = np.fft.ifft(np.fft.ifftshift(self._table)).astype(
+            self._table.dtype)
         return ComplexTimeLinearTableLookup(time, self._delta * n,
                                             self.is_symmetric)

@@ -67,7 +67,12 @@ class StreamingFir:
     """
 
     def __init__(self, taps: jnp.ndarray):
-        self.taps = jnp.asarray(taps)
+        import numpy as np
+        # Taps stay HOST numpy until the jitted step traces them: an eager
+        # jnp.asarray(complex_taps) is a host->device complex transfer,
+        # which fails on axon-style backends (CLAUDE.md; same rule as
+        # conv_types tables).
+        self.taps = np.asarray(jax.device_get(taps))
         self.m = int(self.taps.shape[-1])
         self.fft_len = conv_ops.pick_fft_len(self.m)
 

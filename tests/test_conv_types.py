@@ -86,3 +86,27 @@ def test_lookup_fft_ifft_round_trip():
         rc, 0.2, 5).to_complex()
     back = table.fft().ifft()
     assert_vector_eq(np.asarray(back.table), np.asarray(table.table), tol=1e-5)
+
+
+def test_lookup_tables_stay_on_host():
+    """LUT tables are HOST numpy through every construction-time
+    transform: building complex kernels must never create an eager
+    complex device array (axon cannot transfer/operate on complex outside
+    traces — CLAUDE.md; regression for the round-2 review)."""
+    rc = bd.RaisedCosineFunction(0.35)
+    t0 = bd.RealTimeLinearTableLookup.from_conv_function(rc, 0.2, 5)
+    chain = [t0, t0.to_complex(), t0.fft(), t0.to_complex().fft(),
+             t0.to_complex().fft().ifft(),
+             t0.to_complex().fft().to_real(),
+             bd.ComplexTimeLinearTableLookup.from_raw_parts(
+                 np.arange(9, dtype=np.complex64), 1.0, False)]
+    for lut in chain:
+        assert isinstance(lut.table, np.ndarray), type(lut)
+    # And a complex table still evaluates correctly through jit.
+    import jax
+    import jax.numpy as jnp
+    lut = chain[1]
+    pts = np.linspace(-0.8, 0.8, 9).astype(np.float32)
+    got = jax.jit(lambda p: lut.calc(p))(jnp.asarray(pts))
+    want = np.asarray(t0.calc(jnp.asarray(pts)))
+    assert_vector_eq(np.asarray(got).real, want, tol=1e-6)
