@@ -76,6 +76,23 @@ TRANSPOSED = os.environ.get("BENCH_TRANSPOSED", "") == "1"
 FUSED = os.environ.get("BENCH_FUSED", "") == "1"
 
 
+def _device_reachable(timeout_s: int = 120) -> bool:
+    """Bounded-liveness probe in a SUBPROCESS: when the axon tunnel is
+    down even trivial ops hang forever (CLAUDE.md), and a hung bench run
+    is worse than a loud failure.  A subprocess is the only reliable
+    bound — in-process jax calls cannot be timed out."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "assert float(jnp.ones((128,)).sum()) == 128.0"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -201,4 +218,8 @@ def _device_hbm_gbps(device) -> float:
 
 
 if __name__ == "__main__":
+    if not _device_reachable():
+        print("# device unreachable (axon tunnel down?) — refusing to "
+              "hang; see tpu_revalidate.sh", file=sys.stderr)
+        sys.exit(2)
     main()
