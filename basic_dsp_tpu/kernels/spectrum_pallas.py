@@ -196,15 +196,17 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
 
 def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref, scratch, *, L2, rows,
-                 transposed=False):
+                 transposed=False, acc_ref=None, nblocks=1):
     """Shared kernel tail: Stockham+MXU row FFT, inner twiddle W, lane
     DFT-128 (with the fftshift column rotation folded), magnitude.
 
-    ``transposed``: write the block as (LANES, L2, rows) into the
-    grid-resident (LANES, L2, n1) output at row-slot ``program_id(0)`` —
-    the natural-spectrum-order layout, eliminating the separate XLA
-    magnitude transpose (16 MB read + 16 MB write at 4M) at the cost of
-    an in-VMEM block transpose per grid step."""
+    ``transposed``: accumulate each (rows, L2, LANES) block into the
+    persistent VMEM scratch ``acc_ref`` (major-dim offsets — aligned;
+    a per-block lane-dim store at offset i*rows is rejected by Mosaic:
+    lane offsets must be multiples of 128), then at the LAST grid step
+    transpose the whole accumulator in VMEM and store it once — the
+    natural-spectrum-order layout, eliminating the separate XLA
+    magnitude transpose (16 MB read + 16 MB write at 4M)."""
     gr, gi = _stockham_axis(gr, gi, L2, scratch,
                             fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]))
     wr = wr_ref[...][None, :, :]
@@ -224,14 +226,18 @@ def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
     mag = jnp.sqrt(dr * dr + di * di).reshape(rows, L2, LANES)
     if transposed:
         i = pl.program_id(0)
-        mag_ref[:, :, pl.ds(i * rows, rows)] = mag.transpose(2, 1, 0)
+        acc_ref[pl.ds(i * rows, rows)] = mag
+
+        @pl.when(i == nblocks - 1)
+        def _finish():
+            mag_ref[...] = acc_ref[...].transpose(2, 1, 0)
     else:
         mag_ref[...] = mag
 
 
 def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                    fmr_ref, fmp_ref, fmm_ref, mag_ref, sra, sia, srb, sib,
-                   *, L2, rows, tw_refs=(), transposed=False):
+                   *acc, L2, rows, nblocks=1, tw_refs=(), transposed=False):
     gr = br_ref[...].reshape(rows, L2, LANES)
     gi = bi_ref[...].reshape(rows, L2, LANES)
     if tw_refs:
@@ -248,7 +254,8 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
     _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref,
                  ((sra, sia), (srb, sib)), L2=L2, rows=rows,
-                 transposed=transposed)
+                 transposed=transposed,
+                 acc_ref=acc[0] if acc else None, nblocks=nblocks)
 
 
 def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
@@ -256,8 +263,9 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
                   wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                   fmr_ref, fmp_ref, fmm_ref, mag_ref,
                   bre, bim, pr0, pi0, pr1, pi1,
-                  sra, sia, srb, sib, dsem,
-                  *, L2, rows, n1, n2, panel, transposed=False):
+                  sra, sia, srb, sib, *rest,
+                  L2, rows, n1, n2, panel, transposed=False):
+    acc_ref, dsem = (rest if transposed else (None, rest[0]))
     """Four-step spectrum with stage 1 *inside* the kernel: B = F1 @ A
     never round-trips HBM.  A stays in HBM (memory_space=ANY) and is
     DMA'd in (n1, panel) column panels during grid step 0; the stage-1
@@ -315,7 +323,8 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
     _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref,
                  ((sra, sia), (srb, sib)), L2=L2, rows=rows,
-                 transposed=transposed)
+                 transposed=transposed, acc_ref=acc_ref,
+                 nblocks=n1 // rows)
 
 
 @functools.partial(jax.jit,
@@ -337,10 +346,15 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
 
     ``transposed=True`` makes the KERNEL produce that layout directly:
     returns (128, L2, n1) so the natural order is one ``reshape(-1)`` —
-    the whole (128, L2, n1) output stays VMEM-resident across grid steps
-    (16 MB at 4M) and each step writes its block through an in-VMEM
-    transpose, trading the 32 MB HBM transpose pass for VPU relayouts.
-    Gated off by default pending an on-chip A/B (probe_transposed.py).
+    blocks accumulate untransposed in a persistent VMEM scratch
+    (major-dim stores; a per-block lane-offset store is Mosaic-illegal:
+    lane offsets must be multiples of 128) and the LAST grid step does
+    one in-VMEM lane<->major transpose + aligned full store, trading the
+    32 MB HBM transpose pass for Mosaic relayouts.  Measured on v5e at
+    4M (probe_transposed2.log, 2026-08-19): parity exact but 0.727 vs
+    0.523 ms/iter chain — Mosaic's relayout costs ~5x the HBM transpose
+    it removes.  Kept gated OFF; useful only if Mosaic's transpose
+    lowering improves.
     """
     n1, n2 = Br.shape
     L2 = n2 // LANES
@@ -375,6 +389,11 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((n1, L2, LANES), jnp.float32)
     scratch = [pltpu.VMEM((rows, n2), jnp.float32)] * 4
+    if transposed:
+        # Persistent block accumulator: per-step stores land at major-dim
+        # offsets (aligned); ONE lane<->major transpose + full store at
+        # the last step (a per-step lane-offset store is Mosaic-illegal).
+        scratch = scratch + [pltpu.VMEM((n1, L2, LANES), jnp.float32)]
     # Mosaic's default scoped-VMEM stack limit is 16 MB; the stage chain's
     # live temporaries exceed it at L2 >= 256 (measured 30.4 MB).  v5e has
     # 128 MB physical VMEM — raise the per-kernel limit instead of
@@ -383,7 +402,7 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     fm_spec = pl.BlockSpec((m0, m0), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
     base = functools.partial(_rowfft_kernel, L2=L2, rows=rows,
-                             transposed=transposed)
+                             nblocks=n1 // rows, transposed=transposed)
     if fold_tw:
         def kernel(br, bi, tr, ti, wr, wi, fr, fm, fp, fmr, fmp, fmm,
                    mag, *scr):
@@ -462,6 +481,8 @@ def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
     scratch = ([pltpu.VMEM((n1, n2), jnp.float32)] * 2      # B planes
                + [pltpu.VMEM((n1, panel), jnp.float32)] * 4  # 2x2 DMA slots
                + [pltpu.VMEM((rows, n2), jnp.float32)] * 4   # ping-pong
+               + ([pltpu.VMEM((n1, L2, LANES), jnp.float32)]
+                  if transposed else [])                     # acc (see tail)
                + [pltpu.SemaphoreType.DMA((2, 2))])
     params = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
     kernel = functools.partial(_fused_kernel, L2=L2, rows=rows,
