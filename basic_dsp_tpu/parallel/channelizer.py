@@ -184,10 +184,14 @@ def sharded_channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
     n = x.shape[-1]
     d = int(mesh.shape[axis_name])
     if n % C != 0:
-        raise ValueError(f"signal length {n} not divisible by {C} channels")
+        raise ValueError(f"signal length {n} not divisible by {C} channels; the polyphase "
+            f"split needs n % channels == 0 — zero-pad the signal first "
+            f"(docs/API.md, divisibility contract)")
     S = n // C
     if S % d != 0:
-        raise ValueError(f"rows {S} not divisible by mesh size {d}")
+        raise ValueError(f"rows {S} not divisible by mesh size {d}; need (n/channels) % "
+            f"n_devices == 0 — pad the signal or use a submesh "
+            f"(docs/API.md, divisibility contract)")
     t = prototype.shape[-1] // C
     if S // d < t + 1:
         raise ValueError("shard shorter than FIR+demod halo; "

@@ -78,7 +78,9 @@ def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
     m = h.shape[-1]
     d = mesh.devices.size
     if n % d != 0:
-        raise ValueError(f"signal length {n} not divisible by mesh size {d}")
+        raise ValueError(f"signal length {n} not divisible by mesh size {d}; sharded entry "
+            f"points require n % n_devices == 0 — pad with zero_pad or pick "
+            f"a submesh (docs/API.md, divisibility contract)")
     start, length, c = conv_ops._clip_kernel(n, m)
     m_eff = length
     if n // d < m_eff:
@@ -133,7 +135,9 @@ def sharded_interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
     n = x.shape[-1]
     d = mesh.devices.size
     if n % d != 0:
-        raise ValueError(f"signal length {n} not divisible by mesh size {d}")
+        raise ValueError(f"signal length {n} not divisible by mesh size {d}; sharded entry "
+            f"points require n % n_devices == 0 — pad with zero_pad or pick "
+            f"a submesh (docs/API.md, divisibility contract)")
     ln = n // d
     delay = delay / delta
     L = min(conv_len, n // 2)
@@ -221,7 +225,9 @@ def sharded_statistics(x: jnp.ndarray, mesh: Mesh,
     n = x.shape[-1]
     d = mesh.devices.size
     if n % d != 0:
-        raise ValueError(f"signal length {n} not divisible by mesh size {d}")
+        raise ValueError(f"signal length {n} not divisible by mesh size {d}; sharded entry "
+            f"points require n % n_devices == 0 — pad with zero_pad or pick "
+            f"a submesh (docs/API.md, divisibility contract)")
     ln = n // d
 
     def body(xs):

@@ -69,7 +69,9 @@ def sharded_fft(x: jnp.ndarray, mesh: Mesh,
     d = mesh.devices.size
     n1, n2 = _split_factors(n)
     if n1 % d != 0 and n2 % d != 0:
-        raise ValueError(f"{n}={n1}x{n2} not divisible by mesh size {d}")
+        raise ValueError(f"{n}={n1}x{n2}: neither factor divisible by mesh size {d}; "
+            f"sharded_fft needs d | n1 or d | n2 — power-of-two lengths "
+            f"always qualify (docs/API.md, divisibility contract)")
 
     @functools.partial(jax.jit)
     def fn(x):

@@ -15,6 +15,6 @@ run profile_mod3.py 1750 full
 run bench_all.py 1750
 run probe_bench_dce.py 1750
 run probe_fused_db.py 1750
-run probe_transposed.py 1750
+run probe_transposed2.py 1750
 run bench.py 900
 echo "=== done $(date) ===" >> $LOG

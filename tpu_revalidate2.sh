@@ -10,7 +10,7 @@ run() {
 }
 run smoke_tpu.py 600
 run probe_bench_dce.py 900
-run probe_transposed.py 900
+run probe_transposed2.py 900
 run probe_fused_db.py 900
 run bench.py 900
 run smoke_accuracy_tpu.py 1200
