@@ -114,6 +114,36 @@ def enable_x64() -> None:
     the ``*_prec`` contracts.
     """
     jax.config.update("jax_enable_x64", True)
+    warn_if_no_native_f64()
+
+
+_f64_warned = [False]
+
+
+def warn_if_no_native_f64() -> None:
+    """Loud, one-time warning when f64 flavors run on a backend without
+    native f64 (TPU): elementwise f64 computation silently executes at f32
+    grade there — the reference's f64 contract
+    (vector_types/mod.rs:121-123: every op instantiated for f32 AND f64)
+    holds only on CPU.  The ``*_prec`` reductions are the exception: they
+    use device double-float accumulation (stats_ops) and meet the f64
+    accuracy contract on any backend.  Documented in docs/API.md."""
+    if _f64_warned[0]:
+        return
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return
+    if platform == "tpu":
+        _f64_warned[0] = True
+        import warnings
+        warnings.warn(
+            "x64 flavors requested on a TPU backend: TPUs have no native "
+            "f64 — elementwise/FFT f64 ops will compute at f32 grade. "
+            "Only the *_prec reductions (device double-float accumulation) "
+            "meet the f64 accuracy contract here; run f64 verification on "
+            "CPU. See docs/API.md (accuracy grades).",
+            RuntimeWarning, stacklevel=3)
 
 
 def make_mesh(n_devices: Optional[int] = None,

@@ -153,6 +153,10 @@ def _tiled_binary(a, b, op, reps):
     return op(a, jnp.tile(b, reps))
 
 
+def _setitem_impl(x, value, key):
+    return x.at[key if len(key) > 1 else key[0]].set(value)
+
+
 def _complex_to_interleaved(x):
     inter = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
     return inter.reshape(x.shape[:-1] + (2 * x.shape[-1],))
@@ -344,6 +348,31 @@ class DspVector:
 
     def __getitem__(self, idx):
         return self.to_numpy()[idx]
+
+    def __setitem__(self, idx, value):
+        """Sample mutation (reference ``FloatIndexMut``/``ComplexIndexMut``,
+        vec_impl_and_indexers.rs:16-64): ``vec[i] = value`` rebinds the
+        underlying array to a functionally-updated copy (``.at[].set`` —
+        arrays are immutable in jax; XLA turns the single-element update
+        into an in-place donation when it can).  ``idx`` may be an int, a
+        slice, or a tuple of those (matrix layer)."""
+        if not isinstance(idx, (int, np.integer, slice, tuple)):
+            raise TypeError("index must be an int, slice or tuple thereof")
+        if isinstance(idx, tuple) and not all(
+                isinstance(i, (int, np.integer, slice)) for i in idx):
+            raise TypeError("tuple index entries must be ints or slices")
+        if isinstance(value, np.ndarray):
+            if np.iscomplexobj(value):
+                value = _planar.from_host_complex(
+                    np.ascontiguousarray(value.real),
+                    np.ascontiguousarray(value.imag))
+            else:
+                value = jnp.asarray(value)
+        elif isinstance(value, (int, float)) and self.is_complex():
+            value = complex(value)
+        key = idx if isinstance(idx, tuple) else (idx,)
+        self._data = _planar.call(_setitem_impl, self._data, value,
+                                  static=(key,))
 
     def interleaved(self) -> np.ndarray:
         """Interleaved float view ([re0, im0, re1, im1, …] for complex) —

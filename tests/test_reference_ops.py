@@ -79,3 +79,27 @@ def test_real_fft_family_vs_numpy(n):
     assert_vector_eq(half.array, np_half, tol=np.abs(np_half).max() * 1e-5)
     back = half.plain_sifft().scale(1.0 / n)
     assert_vector_eq(back.array, data, tol=1e-3)
+
+
+def test_setitem_mutation_parity():
+    """Reference FloatIndexMut/ComplexIndexMut
+    (vec_impl_and_indexers.rs:16-64): single-sample writes."""
+    v = bd.to_real_time_vec(np.arange(8, dtype=np.float32))
+    v[3] = 99.0
+    assert v[3] == 99.0 and v[2] == 2.0
+    v[1:3] = np.asarray([7.0, 8.0], np.float32)
+    assert v[1] == 7.0 and v[2] == 8.0
+
+    c = bd.to_complex_time_vec(np.arange(4).astype(np.complex64))
+    c[2] = 1 - 2j
+    assert c[2] == 1 - 2j
+    c[0] = 5
+    assert c[0] == 5 + 0j
+
+    m = bd.to_real_time_mat(np.zeros((3, 4), np.float32))
+    m[1, 2] = 5.0
+    assert m[1, 2] == 5.0 and m[0, 0] == 0.0
+
+    import pytest
+    with pytest.raises(TypeError):
+        v[np.array([1, 2])] = 0.0
