@@ -1,23 +1,44 @@
 """Mesh-distributed FFT via the four-step (Bailey) decomposition.
 
 A length-N DFT with N = N1*N2 factors into: columns-FFT (N1) -> twiddle ->
-rows-FFT (N2) -> transpose.  Sharding the (N1, N2) matrix over rows makes
-each FFT stage local; the data redistribution between stages is the
-all-to-all that XLA inserts for the sharding-constraint change — this is
-the "spectra ride the ICI" design from SURVEY.md §5 (distributed
-communication backend) realized for the FFT itself.
+rows-FFT (N2) -> transpose.  The distributed form is the classic
+"transpose algorithm": every FFT stage is LOCAL and the axis
+redistributions are explicit ``jax.lax.all_to_all`` collectives inside a
+``shard_map`` — nothing is left to XLA's sharding propagation (the round-2
+``with_sharding_constraint`` formulation let XLA place the reshards and
+strong scaling went BACKWARDS: 92.9 -> 161.1 ms from 1 to 8 devices,
+SCALING_r02.json).
+
+Comm-volume model (VERDICT r2 #2): natural-order in, natural-order out
+takes exactly THREE all_to_alls — (1) time-block shards -> column shards
+for the stage-1 FFTs, (2) column -> row shards between stages, (3) row ->
+output-block shards for the natural-order flatten.  Each moves the full N
+complex samples across the mesh once (each device sends (d-1)/d of its
+N/d shard), so total traffic = 3*N*8 bytes over ICI while local compute
+is (N/d)*log2(N) per device: the comm fraction is fixed in d and strong
+scaling is monotone.  Callers that can consume the four-step layout pass
+``natural_order=False`` and skip collective (3).
 
 The single-chip variant (``four_step_fft``) is also the building block the
 blocked pipelines use for very large transforms.
+
+Reference anchors: split/merge round-robin semantics
+(vector/src/vector_types/general/data_reorganization.rs:170-214) are the
+single-node analog of these axis redistributions; SURVEY.md §2.5/§5 maps
+them onto all_to_all.
 """
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.4.35 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def _split_factors(n: int):
@@ -51,44 +72,120 @@ def four_step_fft(x: jnp.ndarray, n1: int = 0, n2: int = 0) -> jnp.ndarray:
 
 def four_step_ifft(x: jnp.ndarray, n1: int = 0, n2: int = 0) -> jnp.ndarray:
     """Unscaled inverse DFT == N * jnp.fft.ifft (rustfft convention)."""
-    n = x.shape[-1]
     out = jnp.conj(four_step_fft(jnp.conj(x), n1, n2))
     return out
 
 
-def sharded_fft(x: jnp.ndarray, mesh: Mesh,
-                axis_name: str = "dsp") -> jnp.ndarray:
-    """Distributed unscaled DFT of a time-sharded signal.
+def _factors_for_mesh(n: int, d: int):
+    """n = n1 * n2 with d | n1 and d | n2, as balanced as divisibility
+    allows (both divisibilities are required: the input reshape needs
+    d | n1 and the all_to_all column splits need d | n2)."""
+    n1, n2 = _split_factors(n)
+    if n1 % d == 0 and n2 % d == 0:
+        return n1, n2
+    if n % (d * d) == 0:
+        m = n // (d * d)
+        r = int(math.isqrt(m))
+        while m % r != 0:
+            r -= 1
+        return r * d, (m // r) * d
+    raise ValueError(
+        f"sharded_fft: length {n} cannot split as n1*n2 with mesh size {d} "
+        f"dividing both factors; need d^2 | n — power-of-two lengths >= "
+        f"d^2 always qualify (docs/API.md, divisibility contract)")
 
-    Stage 1 (columns FFT) runs with rows sharded; the twiddle multiply is
-    elementwise; stage 2 needs the other axis local, so a sharding
-    constraint flips the partitioned axis and XLA inserts the all-to-all.
-    Result is returned sharded over the (transposed) output axis.
-    """
+
+_TWIDDLE_CACHE: dict = {}
+_FN_CACHE: dict = {}
+
+
+def _twiddle_for(n: int, n1: int, n2: int, mesh: Mesh, axis_name: str,
+                 dtype) -> jnp.ndarray:
+    """Precomputed four-step twiddle W[j2, k1] = exp(-2πi·k1·j2/n), built
+    ONCE on the host in numpy and device_put sharded over j2 (FFTW-style
+    plan data).  jnp ops on constants are STAGED inside jit traces
+    (CLAUDE.md) — the round-2 formulation recomputed the full N complex
+    exponentials on every call."""
+    import numpy as np
+    key = (n, n1, n2, axis_name, tuple(d.id for d in mesh.devices.flat),
+           jnp.dtype(dtype).name)
+    tw = _TWIDDLE_CACHE.get(key)
+    if tw is None:
+        k1 = np.arange(n1)[None, :]
+        j2 = np.arange(n2)[:, None]
+        ang = (-2.0 * np.pi / n) * ((k1 * j2) % n)
+        tw = np.exp(1j * ang).astype(dtype)
+        sharding = jax.sharding.NamedSharding(mesh, P(axis_name, None))
+        tw = jax.device_put(tw, sharding)
+        _TWIDDLE_CACHE[key] = tw
+    return tw
+
+
+def sharded_fft(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp",
+                natural_order: bool = True) -> jnp.ndarray:
+    """Distributed unscaled DFT of a time-sharded signal (explicit
+    shard_map; comm-volume model in the module docstring).
+
+    Every FFT runs along the CONTIGUOUS last axis (a strided axis-0 FFT
+    measured 12x slower on the CPU mesh: 17.0 vs 1.45 ms at (1024,1024));
+    the layout flips are explicit local transposes, which XLA fuses with
+    the adjoining collective's copy.
+
+    With ``natural_order=False`` the result is the four-step (n1, n2)
+    matrix BEFORE the final transpose, sharded over rows — element
+    (k1, k2) is spectrum bin ``k1 + n1*k2``.  That skips the third
+    all_to_all for pipelines that can consume the transposed layout
+    (e.g. magnitude reductions)."""
     n = x.shape[-1]
     d = mesh.devices.size
-    n1, n2 = _split_factors(n)
-    if n1 % d != 0 and n2 % d != 0:
-        raise ValueError(f"{n}={n1}x{n2}: neither factor divisible by mesh size {d}; "
-            f"sharded_fft needs d | n1 or d | n2 — power-of-two lengths "
-            f"always qualify (docs/API.md, divisibility contract)")
+    n1, n2 = _factors_for_mesh(n, d)
+    tw = _twiddle_for(n, n1, n2, mesh, axis_name, x.dtype)
 
-    @functools.partial(jax.jit)
-    def fn(x):
-        A = x.reshape(n1, n2)
-        # Stage 1 FFTs over n1 (axis 0): keep that axis local, shard n2.
-        A = jax.lax.with_sharding_constraint(
-            A, NamedSharding(mesh, P(None, axis_name)))
-        B = jnp.fft.fft(A, axis=0)
-        k1 = jnp.arange(n1)[:, None]
-        m2 = jnp.arange(n2)[None, :]
-        tw = jnp.exp(-2j * jnp.pi * ((k1 * m2) % n) / n).astype(B.dtype)
-        B = B * tw
-        # Stage 2 FFTs over n2 (axis 1): flip the partitioned axis — XLA
-        # inserts the all-to-all here.
-        B = jax.lax.with_sharding_constraint(
-            B, NamedSharding(mesh, P(axis_name, None)))
-        C = jnp.fft.fft(B, axis=1)
-        return jnp.swapaxes(C, 0, 1).reshape(-1)
+    # jit caches on function identity — a fresh `local` closure per call
+    # would RECOMPILE every invocation (~50 ms, dominated round-2 CPU-mesh
+    # timings).  Key the compiled program like the twiddle.
+    fkey = (n, n1, n2, axis_name, natural_order,
+            tuple(dev.id for dev in mesh.devices.flat),
+            jnp.dtype(x.dtype).name)
+    cached = _FN_CACHE.get(fkey)
+    if cached is not None:
+        return cached(x, tw)
 
-    return fn(x)
+    def local(xl, twl):
+        # xl: this device's contiguous (n/d,) time block == rows
+        # [i*n1/d, (i+1)*n1/d) of the row-major (n1, n2) matrix.
+        A = xl.reshape(n1 // d, n2)
+        # (1) time blocks -> column shards: (n1, n2/d) local after.
+        A = jax.lax.all_to_all(A, axis_name, split_axis=1, concat_axis=0,
+                               tiled=True)
+        # Stage 1: length-n1 FFTs, one per local column, along the
+        # contiguous axis: B[j2_local, k1].
+        B = jnp.fft.fft(A.T)
+        B = B * twl  # twl[j2_local, k1], precomputed
+        # (2) column -> row shards: split k1, gather j2 -> (n2, n1/d).
+        B = jax.lax.all_to_all(B, axis_name, split_axis=1, concat_axis=0,
+                               tiled=True)
+        # Stage 2: length-n2 FFTs along the contiguous axis after a
+        # local transpose: C[k1_local, k2].
+        C = jnp.fft.fft(B.T)
+        if not natural_order:
+            return C
+        # (3) row shards -> output blocks: device i ends with all k1 and
+        # k2 in [i*n2/d, (i+1)*n2/d); transpose+flatten is then exactly
+        # the contiguous output block [i*n/d, (i+1)*n/d) of the
+        # natural-order spectrum X[k2*n1 + k1].
+        C = jax.lax.all_to_all(C, axis_name, split_axis=1, concat_axis=0,
+                               tiled=True)
+        return C.T.reshape(-1)
+
+    out_spec = P(axis_name) if natural_order else P(axis_name, None)
+    in_specs = (P(axis_name), P(axis_name, None))
+    try:
+        fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_spec, check_vma=False)
+    except TypeError:  # pragma: no cover - jax < 0.7 spelling
+        fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_spec, check_rep=False)
+    fn = jax.jit(fn)
+    _FN_CACHE[fkey] = fn
+    return fn(x, tw)
