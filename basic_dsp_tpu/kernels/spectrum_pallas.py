@@ -41,9 +41,39 @@ LANES = 128
 ROWS_PER_BLOCK = 8
 
 
-def _dot_f32(a, b):
+def _dot_f32(a, b, prec=jax.lax.Precision.HIGHEST):
+    """Kernel dot: ``preferred_element_type`` alone still rounds f32
+    operands to bf16 on the MXU (2.4e-3 err, CLAUDE.md) — the precision
+    must be pinned.  HIGHEST = 6-pass f32-exact (~3e-7); HIGH = 3-pass
+    (~1e-5) is the opt-in per-stage budget (pipelines budget arg).
+
+    Mosaic's kernel lowering rejects ``precision=HIGH`` outright, so the
+    3-pass form is built MANUALLY: split each f32 operand into a bf16 hi
+    part + bf16 residual and take the three significant cross products
+    (hi·hi + hi·lo + lo·hi) — the same decomposition XLA's HIGH performs,
+    as three 1-pass bf16 MXU dots accumulated in f32."""
+    if prec == jax.lax.Precision.HIGH:
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
+
+
+def _as_prec(p):
+    if p is None:
+        return jax.lax.Precision.HIGHEST
+    if isinstance(p, str):
+        return {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[p]
+    return p
 
 
 def _stage_w(half: int, m: int):
@@ -91,7 +121,8 @@ def _inner_consts(L2: int, n2: int, shift_cols: int):
             fr, fi - fr, fr + fi)
 
 
-def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
+def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
+                   prec=jax.lax.Precision.HIGHEST):
     """Natural-order FFT of length L2 along axis -2 of (..., L2, 128)
     planar planes: mixed radix-4/2 autosort (Stockham) stages down to
     sub-transform length m0 = min(L2, 128), then ONE MXU DFT-m0 matmul
@@ -179,9 +210,9 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
     aiv = ai.reshape(G, m0, LANES)
     cat_r = jnp.concatenate([arv[g] for g in range(G)], axis=-1)
     cat_i = jnp.concatenate([aiv[g] for g in range(G)], axis=-1)
-    k1 = _dot_f32(fmr, cat_r + cat_i)
-    k2 = _dot_f32(fmm, cat_r)
-    k3 = _dot_f32(fmp, cat_i)
+    k1 = _dot_f32(fmr, cat_r + cat_i, prec)
+    k2 = _dot_f32(fmm, cat_r, prec)
+    k3 = _dot_f32(fmp, cat_i, prec)
     ec_r = k1 - k3
     ec_i = k1 + k2
     outs_r = [ec_r[:, g * LANES:(g + 1) * LANES] for g in range(G)]
@@ -196,7 +227,8 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None):
 
 def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref, scratch, *, L2, rows,
-                 transposed=False, acc_ref=None, nblocks=1):
+                 transposed=False, acc_ref=None, nblocks=1,
+                 prec=jax.lax.Precision.HIGHEST):
     """Shared kernel tail: Stockham+MXU row FFT, inner twiddle W, lane
     DFT-128 (with the fftshift column rotation folded), magnitude.
 
@@ -208,7 +240,8 @@ def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
     natural-spectrum-order layout, eliminating the separate XLA
     magnitude transpose (16 MB read + 16 MB write at 4M)."""
     gr, gi = _stockham_axis(gr, gi, L2, scratch,
-                            fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]))
+                            fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]),
+                            prec=prec)
     wr = wr_ref[...][None, :, :]
     wi = wi_ref[...][None, :, :]
     hr = gr * wr - gi * wi
@@ -218,9 +251,9 @@ def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
     # Karatsuba planes from _inner_consts): 3 dots instead of 4.
     hr2 = hr.reshape(rows * L2, LANES)
     hi2 = hi.reshape(rows * L2, LANES)
-    k1 = _dot_f32(hr2 + hi2, fr_ref[...])
-    k2 = _dot_f32(hr2, fm_ref[...])
-    k3 = _dot_f32(hi2, fp_ref[...])
+    k1 = _dot_f32(hr2 + hi2, fr_ref[...], prec)
+    k2 = _dot_f32(hr2, fm_ref[...], prec)
+    k3 = _dot_f32(hi2, fp_ref[...], prec)
     dr = k1 - k3
     di = k1 + k2
     mag = jnp.sqrt(dr * dr + di * di).reshape(rows, L2, LANES)
@@ -237,7 +270,8 @@ def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
 
 def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                    fmr_ref, fmp_ref, fmm_ref, mag_ref, sra, sia, srb, sib,
-                   *acc, L2, rows, nblocks=1, tw_refs=(), transposed=False):
+                   *acc, L2, rows, nblocks=1, tw_refs=(), transposed=False,
+                   prec=jax.lax.Precision.HIGHEST):
     gr = br_ref[...].reshape(rows, L2, LANES)
     gi = bi_ref[...].reshape(rows, L2, LANES)
     if tw_refs:
@@ -255,7 +289,8 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref,
                  ((sra, sia), (srb, sib)), L2=L2, rows=rows,
                  transposed=transposed,
-                 acc_ref=acc[0] if acc else None, nblocks=nblocks)
+                 acc_ref=acc[0] if acc else None, nblocks=nblocks,
+                 prec=prec)
 
 
 def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
@@ -264,7 +299,8 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
                   fmr_ref, fmp_ref, fmm_ref, mag_ref,
                   bre, bim, pr0, pi0, pr1, pi1,
                   sra, sia, srb, sib, *rest,
-                  L2, rows, n1, n2, panel, transposed=False):
+                  L2, rows, n1, n2, panel, transposed=False,
+                  prec=jax.lax.Precision.HIGHEST):
     """Four-step spectrum with stage 1 *inside* the kernel: B = F1 @ A
     never round-trips HBM.  A stays in HBM (memory_space=ANY) and is
     DMA'd in (n1, panel) column panels during grid step 0; the stage-1
@@ -308,9 +344,9 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
             slot = p % 2
             a_r, a_i = prs[slot][...], pis[slot][...]
             sl = pl.ds(p * panel, panel)
-            k1 = _dot_f32(f1r, a_r + a_i)
-            k2 = _dot_f32(f1m, a_r)
-            k3 = _dot_f32(f1p, a_i)
+            k1 = _dot_f32(f1r, a_r + a_i, prec)
+            k2 = _dot_f32(f1m, a_r, prec)
+            k3 = _dot_f32(f1p, a_i, prec)
             bre[:, sl] = k1 - k3
             bim[:, sl] = k1 + k2
 
@@ -324,15 +360,17 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref,
                  ((sra, sia), (srb, sib)), L2=L2, rows=rows,
                  transposed=transposed, acc_ref=acc_ref,
-                 nblocks=n1 // rows)
+                 nblocks=n1 // rows, prec=prec)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("shift", "interpret", "transposed"))
+                   static_argnames=("shift", "interpret", "transposed",
+                                    "budget"))
 def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                interpret: bool = False, Tr: jnp.ndarray = None,
                Ti: jnp.ndarray = None,
-               transposed: bool = False) -> jnp.ndarray:
+               transposed: bool = False,
+               budget: str = None) -> jnp.ndarray:
     """|FFT(rows)| (optionally global-fftshift-folded) of planar rows.
 
     Br, Bi: (n1, n2) f32 planes of the post-stage-1 four-step data —
@@ -402,7 +440,8 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     fm_spec = pl.BlockSpec((m0, m0), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
     base = functools.partial(_rowfft_kernel, L2=L2, rows=rows,
-                             nblocks=n1 // rows, transposed=transposed)
+                             nblocks=n1 // rows, transposed=transposed,
+                             prec=_as_prec(budget))
     if fold_tw:
         def kernel(br, bi, tr, ti, wr, wi, fr, fm, fp, fmr, fmp, fmm,
                    mag, *scr):
@@ -429,11 +468,13 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("shift", "interpret", "transposed"))
+                   static_argnames=("shift", "interpret", "transposed",
+                                    "budget"))
 def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
                        shift: bool = True,
                        interpret: bool = False,
-                       transposed: bool = False) -> jnp.ndarray:
+                       transposed: bool = False,
+                       budget: str = None) -> jnp.ndarray:
     """|fftshift(FFT)| of the (n1, n2)-reshaped planar signal with BOTH
     four-step stages inside one Pallas kernel: stage-1 DFT (3-mult MXU
     dots over HBM-DMA'd column panels into a persistent VMEM scratch),
@@ -487,7 +528,8 @@ def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
     params = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
     kernel = functools.partial(_fused_kernel, L2=L2, rows=rows,
                                n1=n1, n2=n2, panel=panel,
-                               transposed=transposed)
+                               transposed=transposed,
+                               prec=_as_prec(budget))
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -63,12 +63,45 @@ def windowed_spectrum(x: jnp.ndarray, window: jnp.ndarray):
     return _shifted_mag(work * window.astype(work.dtype))
 
 
+@functools.partial(jax.jit, static_argnames=("beta", "factor", "delay",
+                                             "conv_len"))
+def modulation_chain_planar(sr: jnp.ndarray, si: jnp.ndarray,
+                            beta: float = 0.35, factor: float = 10.0,
+                            delay: float = 0.0, conv_len: int = 10):
+    """Config #4 chain (reference examples/modulation.rs:14-41): two PRBS
+    symbol channels -> complex baseband via RC pulse-shaping interpolatef
+    -> real passband (to_real), all PLANAR.
+
+    The reference sets the two channels as real/imag of one complex vector
+    and interpolates it; the RC taps are real, so the two planes resample
+    independently and the complex vector never needs to exist: on TPU the
+    interleaved complex build alone measured 0.18 ms at 131k symbols
+    (profile_mod4.log) — 5x the cost of the actual resampling (0.036
+    ms/plane on the composed banded-matmul path).  Returns
+    ``(baseband_re, baseband_im)``; the modulated passband output of the
+    example is exactly ``baseband_re`` (to_real drops the imag plane).
+
+    Both planes are COMPUTED AND RETURNED — a caller that consumes only
+    the real plane lets XLA legitimately skip the imag resample, but the
+    reference example writes the complex baseband to disk too, so the
+    benchmark consumes both.
+    """
+    from .ops import interp_ops
+    from .conv_types import RaisedCosineFunction
+
+    f = RaisedCosineFunction(beta)
+    re = interp_ops.interpolatef(sr, f, factor, delay, conv_len, 1.0)
+    im = interp_ops.interpolatef(si, f, factor, delay, conv_len, 1.0)
+    return re, im
+
+
 @functools.partial(jax.jit, static_argnames=("n1", "interpret", "fused",
-                                              "transposed"))
+                                              "transposed", "budget"))
 def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
                          taps: jnp.ndarray, window: jnp.ndarray,
                          n1: int = 0, interpret: bool = False,
-                         fused: bool = False, transposed: bool = False):
+                         fused: bool = False, transposed: bool = False,
+                         budget: str = None):
     """All-planar flagship chain: centered real-tap FIR + window + shifted
     FFT magnitude, with complex data carried as (re, im) f32 planes from
     entry to exit — interleaved complex64 is never materialized.
@@ -83,6 +116,13 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
 
     Mirrors convolution.rs:416-450 (FIR) + time_to_freq.rs:158-165 (fft =
     plain_fft + fft_shift) + magnitude.
+
+    ``budget``: per-chain MXU precision budget (VERDICT r2 #1).  None
+    keeps every dot at the library dial (f32-exact "highest", 6-pass);
+    "high" runs the chain's matmuls 3-pass — half the MXU passes for a
+    measured output error of ~1e-5 relative (pinned on-chip by
+    smoke_accuracy_tpu.py).  The LIBRARY default dial is unchanged; this
+    is an explicit opt-in for deployed chains that tolerate 1e-5.
     """
     from .kernels import spectrum_pallas
     from .ops import fourstep
@@ -91,7 +131,14 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     n = xr.shape[-1]
     n1, n2 = fourstep.factor(n, n1)
     assert spectrum_pallas.supported(n1, n2), (n1, n2)
-    prec = config.matmul_precision()
+    # budget grammar: "high" = every dot 3-pass; "high-xla" / "high-kernel"
+    # restrict it to the XLA-side (FIR + stage-1) / Pallas-kernel dots —
+    # the A/B knobs probe_budget.py uses to attribute the win.
+    xla_budget = budget.removesuffix("-xla") if budget in (
+        "high", "high-xla") else None
+    kern_budget = budget.removesuffix("-kernel") if budget in (
+        "high", "high-kernel") else None
+    prec = config.matmul_precision() if xla_budget is None else xla_budget
     # FIR: the two planes convolve independently against the real taps —
     # two real Toeplitz matmuls per shift (half the complex-cast MXU
     # work), no relayout.  Separate per-plane calls, NOT a stacked (2, n)
@@ -107,7 +154,8 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
         # kernel; B never round-trips HBM (spectrum_pallas._fused_kernel).
         M = spectrum_pallas.fourstep_mag_fused(Ar, Ai, shift=True,
                                                interpret=interpret,
-                                               transposed=transposed)
+                                               transposed=transposed,
+                                               budget=kern_budget)
         if transposed:
             return M.reshape(-1)
         return M.transpose(2, 1, 0).reshape(-1)
@@ -129,7 +177,7 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     Ci = Br * Ti + Bi * Tr
     from .kernels.spectrum_pallas import rowfft_mag
     M = rowfft_mag(Cr, Ci, shift=True, interpret=interpret,
-                   transposed=transposed)
+                   transposed=transposed, budget=kern_budget)
     if transposed:
         # Kernel wrote (k2s, k1', k1) directly: natural order is flat.
         return M.reshape(-1)

@@ -1,18 +1,33 @@
 """Full benchmark suite over the BASELINE.md configs (one JSON line each).
 
 ``bench.py`` remains the single headline metric for the driver; this script
-reports the whole config table:
+reports the whole config table, each with a dual-resource floor model
+(VERDICT r2 #8) so every entry carries a ``vs_baseline``:
 
 1. 1M-sample real sine -> Hamming window + FFT magnitude
-2. 4M-sample complex raised-cosine FIR (overlap path)
+2. 4M-sample complex raised-cosine FIR (Toeplitz MXU path)
 3. fractional resampling of 44.1 kHz audio (interpolatef x1.5)
-4. modulation chain: PRBS symbols -> RC pulse shaping -> passband
+4. modulation chain: PRBS symbols -> RC pulse shaping -> passband (planar)
 5. 1024-channel polyphase channelizer + FM demod
+
+``--json FILE`` writes the whole table as a driver-readable artifact
+(BENCH_ALL_r{N}.json).
+
+Floor model per config: ``floor_ms = max(bytes / 819 GB/s,
+mxu_flops / 30.8 TFLOPS)`` — the measured v5e HBM bandwidth and the
+MEASURED f32 precision="highest" MXU peak (probe_mxu_peak.py: 30.8
+TFLOPS at 6-pass; nominal bf16 is 197).  Bytes and FLOPs are per
+iteration of the shipped formulation, derived in the per-config comments
+below; ``vs_baseline = floor_ms / measured_ms``.
 """
+import argparse
 import json
 import time
 
 import numpy as np
+
+HBM_GBPS = 819.0          # v5e
+MXU_TFLOPS_HIGHEST = 30.8  # measured, probe_mxu_peak.py
 
 
 def timed(fn, *args, iters=10):
@@ -70,32 +85,71 @@ def timed(fn, *args, iters=10):
     return slope
 
 
+def floor_ms(bytes_per_iter: float, flops_per_iter: float):
+    """Dual-resource per-iteration floor (ms) and which resource binds."""
+    bt = bytes_per_iter / (HBM_GBPS * 1e9) * 1e3
+    ft = flops_per_iter / (MXU_TFLOPS_HIGHEST * 1e12) * 1e3
+    return max(bt, ft), ("compute" if ft > bt else "hbm"), bt, ft
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", type=str, default=None,
+                    help="also write the table to FILE (driver artifact)")
+    args_cli = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
-    from basic_dsp_tpu.ops import conv_ops, fft_ops, interp_ops
+    from basic_dsp_tpu.ops import conv_ops, interp_ops
     from basic_dsp_tpu.parallel import channelizer
+    from basic_dsp_tpu import pipelines
     from basic_dsp_tpu.windows import HammingWindow
     from basic_dsp_tpu.conv_types import RaisedCosineFunction, SincFunction
 
     rng = np.random.default_rng(0)
     results = []
 
-    # Config 1: 1M real sine -> windowed FFT magnitude.
+    def record(name, samples, dt, bpi, fpi, note):
+        fl, bound, bt, ft = floor_ms(bpi, fpi)
+        results.append({
+            "metric": name,
+            "value": round(samples / dt / 1e6, 2),
+            "unit": "Msamples/s",
+            "vs_baseline": round(fl / (dt * 1e3), 4),
+            "measured_ms": round(dt * 1e3, 4),
+            "floor_ms": round(fl, 4),
+            "bound": bound,
+            "model": {"bytes_mb": round(bpi / 1e6, 1),
+                      "mxu_gflops": round(fpi / 1e9, 3),
+                      "bytes_ms": round(bt, 4), "flops_ms": round(ft, 4),
+                      "note": note},
+        })
+
+    # ---- Config 1: 1M real sine -> windowed FFT magnitude. ----
+    # Path: complex cast + four-step (n1=128) with complex XLA stage-1 and
+    # the Pallas row-FFT tail.  Bytes/sample: carry 4 + x 4 + window 4
+    # (fused into stage-1 read) + B w8 (fused: stage-1 writes C directly)
+    # + T r8 + C w8 r8 + mag w4 r4 + transpose w4 = 56 B.  FLOPs/sample
+    # (Karatsuba 3-dot complex stage-1 at n1=128: 3*2*128; kernel sublane
+    # DFT-64 3*2*64 + lane DFT-128 3*2*128): 1920 F/sample.
     n1 = 1 << 20
     sine = jnp.asarray(np.sin(2 * np.pi * 0.01 * np.arange(n1))
                        .astype(np.float32))
     w1 = HammingWindow().sample(n1, dtype=jnp.float32)
 
     def cfg1(x, w, carry):
-        from basic_dsp_tpu import pipelines
         return pipelines._shifted_mag((x + carry).astype(jnp.complex64) * w)
 
     dt = timed(cfg1, sine, w1, iters=50)
-    results.append(("windowed_fft_magnitude_1m", n1 / dt / 1e6))
+    record("windowed_fft_magnitude_1m", n1, dt, 56.0 * n1, 1920.0 * n1,
+           "complex four-step n1=128 + Pallas tail; window fused")
 
-    # Config 2: 4M complex RC FIR.
+    # ---- Config 2: 4M complex RC FIR. ----
+    # Toeplitz MXU path, complex x, complex taps: 2 band shifts of
+    # (R,128)@(128,128) complex dots; XLA complex dot = 4 real matmuls ->
+    # counted as Karatsuba-equivalent 3 (harsher floor): 3*2*128*2 = 1536
+    # F/sample.  Bytes/sample: x r8 + carry 4 + out w8 = 20 B.
     n2 = 1 << 22
     x_re = jnp.asarray(rng.normal(size=n2).astype(np.float32))
     x_im = jnp.asarray(rng.normal(size=n2).astype(np.float32))
@@ -108,10 +162,14 @@ def main():
         return conv_ops.convolve_signal(x, h.astype(jnp.complex64), True)
 
     dt = timed(cfg2, x_re, x_im, taps, iters=50)
-    results.append(("rc_fir_4m", n2 / dt / 1e6))
+    record("rc_fir_4m", n2, dt, 20.0 * n2, 1536.0 * n2,
+           "complex Toeplitz MXU, 2 band shifts, 128 taps")
 
-    # Config 3: fractional resampling x1.5 of 1M audio samples
-    # (slow_down_music), complex stereo-as-IQ.
+    # ---- Config 3: fractional resampling x1.5 of 1M audio samples
+    # (slow_down_music), complex stereo-as-IQ. ----
+    # Composed direct resampler P=3/Q=2: windows (nb, W=384) @ M (384,
+    # 384) per plane; out 1.5M samples x 2 planes x 2*384 = 2.30 GFLOP.
+    # Bytes: in r8 + carry 4 + ext w8 r8 + out w8 (out-scale) ~ 36 MB.
     n3 = 1 << 20
     a_re = jnp.asarray(rng.normal(size=n3).astype(np.float32))
     a_im = jnp.asarray(rng.normal(size=n3).astype(np.float32))
@@ -121,23 +179,36 @@ def main():
         return interp_ops.interpolatef(x, SincFunction(), 1.5, 0.0, 10, 1.0)
 
     dt = timed(cfg3, a_re, a_im, iters=20)
-    results.append(("interpolatef_1_5x_1m", n3 / dt / 1e6))
+    record("interpolatef_1_5x_1m", n3, dt,
+           12.0 * n3 + 16.0 * (n3 * 3 // 2), 2.0 * 384 * 2 * (n3 * 3 // 2),
+           "composed banded-matmul polyphase, P=3 Q=2, planar planes")
 
-    # Config 4: modulation chain (pulse shaping x10 + passband).
+    # ---- Config 4: modulation chain (PRBS -> RC pulse shaping x10 ->
+    # passband), PLANAR (pipelines.modulation_chain_planar). ----
+    # Reference chain semantics (examples/modulation.rs:14-41): the
+    # complex baseband is an output too, so BOTH planes are computed and
+    # consumed by the fold (jnp.real alone would let XLA drop the imag
+    # plane's resample entirely — profile_mod4.log).  Direct path P=10
+    # Q=1: out 1.31M x 2 planes x 2*W(=256) = 1.34 GFLOP; bytes: in r8 +
+    # carry 4 + ext w8 r8 + out w8/sample_out ~ 14 MB.
     n4 = 1 << 17  # symbols
     s_re = jnp.asarray(rng.choice([-0.5, 0.5], n4).astype(np.float32))
     s_im = jnp.asarray(rng.choice([-0.5, 0.5], n4).astype(np.float32))
 
     def cfg4(sr, si, carry):
-        iq = (sr + carry) + 1j * si
-        shaped = interp_ops.interpolatef(iq, RaisedCosineFunction(0.35),
-                                         10.0, 0.0, 10, 1.0)
-        return jnp.real(shaped)
+        re, im = pipelines.modulation_chain_planar(sr + carry, si)
+        return jnp.concatenate([re, im])
 
-    dt = timed(cfg4, s_re, s_im, iters=20)
-    results.append(("modulation_chain_131k_symbols", 10 * n4 / dt / 1e6))
+    dt = timed(cfg4, s_re, s_im, iters=50)
+    record("modulation_chain_131k_symbols", 10 * n4, dt,
+           12.0 * n4 + 24.0 * 10 * n4, 2.0 * 256 * 2 * 10 * n4,
+           "planar RC pulse shaping, composed banded matmul, P=10")
 
-    # Config 5: 1024-channel channelizer + FM demod over 4M samples.
+    # ---- Config 5: 1024-channel channelizer + FM demod over 4M. ----
+    # Depthwise polyphase FIR (8 taps/sample, VPU) + batched FFT over the
+    # channel axis + demod: HBM-bound; ~56 B/sample across the stage
+    # chain (poly r8 w8, fft r8 w8, demod r8 w8 + carry/in/out).  MXU
+    # flops negligible (FFT is a custom call, FIR is depthwise VPU).
     n5 = 1 << 22
     C = 1024
     c_re = jnp.asarray(rng.normal(size=n5).astype(np.float32))
@@ -149,10 +220,11 @@ def main():
         return channelizer.channelize_and_demod(x, p, C)
 
     dt = timed(cfg5, c_re, c_im, proto, iters=30)
-    results.append(("channelizer_1024ch_4m", n5 / dt / 1e6))
+    record("channelizer_1024ch_4m", n5, dt, 56.0 * n5, 0.0,
+           "depthwise polyphase + channel-axis FFT + demod; HBM-bound")
 
     # Optional: VMEM-resident Pallas overlap-save vs the XLA blocked path
-    # (BDSP_BENCH_PALLAS=1; not on axon — Mosaic hangs there, CLAUDE.md).
+    # (BDSP_BENCH_PALLAS=1).
     import os
     if os.environ.get("BDSP_BENCH_PALLAS") not in (None, "", "0"):
         from basic_dsp_tpu.kernels import overlap_save_pallas as osp
@@ -168,13 +240,21 @@ def main():
             return osp.overlap_save_pallas(x, h, True, 4096)
 
         dt = timed(cfg_os_xla, x_re, x_im, h_long, iters=20)
-        results.append(("overlap_save_xla_384tap_4m", n2 / dt / 1e6))
+        record("overlap_save_xla_384tap_4m", n2, dt, 0.0, 0.0, "A/B")
         dt = timed(cfg_os_pl, x_re, x_im, h_long, iters=20)
-        results.append(("overlap_save_pallas_384tap_4m", n2 / dt / 1e6))
+        record("overlap_save_pallas_384tap_4m", n2, dt, 0.0, 0.0, "A/B")
 
-    for name, msps in results:
-        print(json.dumps({"metric": name, "value": round(msps, 2),
-                          "unit": "Msamples/s"}))
+    for r in results:
+        print(json.dumps({k: r[k] for k in
+                          ("metric", "value", "unit", "vs_baseline")}))
+    if args_cli.json:
+        with open(args_cli.json, "w") as f:
+            json.dump({"device": getattr(jax.devices()[0], "device_kind",
+                                         "unknown"),
+                       "mxu_tflops_highest": MXU_TFLOPS_HIGHEST,
+                       "hbm_gbps": HBM_GBPS,
+                       "configs": results}, f, indent=1)
+        print(f"# wrote {args_cli.json}")
 
 
 if __name__ == "__main__":

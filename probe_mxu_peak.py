@@ -24,12 +24,14 @@ def timed(mk_loop, iters):
     import jax
     fn = jax.jit(mk_loop(iters))
     out = fn()
-    float(np.asarray(out)[0, 0])  # force completion through the tunnel
+    float(out)  # force completion through the tunnel (scalar fetch only —
+    # pulling the full (m, m) result through the ~2.6 GB/s tunnel takes
+    # ~24 ms and swamps the measurement)
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = fn()
-        float(np.asarray(out)[0, 0])
+        float(out)
         ts.append(time.perf_counter() - t0)
     ts.sort()
     return ts[len(ts) // 2]
@@ -53,8 +55,12 @@ def main():
                     # nothing dead-codes
                     y = jnp.matmul(a + c * 1e-30, b, precision=prec)
                     return y * 1e-30
-                return jax.lax.fori_loop(0, iters, body,
-                                         jnp.zeros((m, m), jnp.float32))
+                out = jax.lax.fori_loop(0, iters, body,
+                                        jnp.zeros((m, m), jnp.float32))
+                # The loop body consumes the FULL carry every iteration, so
+                # a post-loop reduction cannot dead-code any body work; it
+                # keeps the host fetch scalar.
+                return jnp.sum(out)
             return run
 
         t1 = timed(mk_loop, ITERS)

@@ -10,6 +10,7 @@ import pytest
 
 from basic_dsp_tpu.kernels import spectrum_pallas as sp
 from basic_dsp_tpu.ops import fourstep
+from basic_dsp_tpu import pipelines
 
 
 @pytest.mark.parametrize("n1,n2", [(8, 2048), (16, 4096), (4, 1024),
@@ -180,3 +181,44 @@ def test_rowfft_mag_transposed_layout(n1, n2):
                                   transposed=True))
     assert Mt.shape == (sp.LANES, n2 // sp.LANES, n1)
     np.testing.assert_array_equal(Mt, M.transpose(2, 1, 0))
+
+
+@pytest.mark.parametrize("budget", ["high", "high-xla", "high-kernel"])
+def test_planar_chain_budget_accuracy(budget):
+    """Per-stage precision budget (VERDICT r2 #1b): the 3-pass budget
+    modes stay within ~1e-5 of the exact chain.  On CPU the XLA-side
+    precision flag is a no-op (f32 matmuls are exact), but the kernel's
+    MANUAL hi/lo bf16 3-pass decomposition executes literally in
+    interpret mode, so the in-kernel budget error is exercised here;
+    the on-chip A/B is probe_budget.log."""
+    n, m = 1 << 16, 64
+    rng = np.random.default_rng(11)
+    xr = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    taps = rng.normal(size=m).astype(np.float32)
+    taps /= np.abs(taps).sum()
+    window = jnp.asarray(np.hamming(n).astype(np.float32))
+    ref = np.asarray(pipelines.fir_fft_chain_planar(
+        xr, xi, jnp.asarray(taps), window, interpret=True))
+    got = np.asarray(pipelines.fir_fft_chain_planar(
+        xr, xi, jnp.asarray(taps), window, interpret=True, budget=budget))
+    rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert rel < 5e-5, (budget, rel)
+
+
+def test_modulation_chain_planar_matches_complex_path():
+    """pipelines.modulation_chain_planar == interpolatef on the complex
+    vector, exactly (real taps resample the planes independently;
+    reference examples/modulation.rs:14-41)."""
+    from basic_dsp_tpu.ops import interp_ops
+    from basic_dsp_tpu.conv_types import RaisedCosineFunction
+
+    rng = np.random.default_rng(12)
+    n = 4096
+    sr = jnp.asarray(rng.choice([-0.5, 0.5], n).astype(np.float32))
+    si = jnp.asarray(rng.choice([-0.5, 0.5], n).astype(np.float32))
+    re, im = pipelines.modulation_chain_planar(sr, si)
+    shaped = interp_ops.interpolatef(
+        sr + 1j * si, RaisedCosineFunction(0.35), 10.0, 0.0, 10, 1.0)
+    np.testing.assert_array_equal(np.asarray(re), np.real(shaped))
+    np.testing.assert_array_equal(np.asarray(im), np.imag(shaped))
