@@ -18,3 +18,4 @@ from .sharded import (
 )
 from .channelizer import (polyphase_channelizer, fm_demodulate,
                           sharded_channelize_and_demod)
+from .mimo import sharded_convolve_mat

@@ -198,3 +198,68 @@ def test_sharded_interpolatef_rejects_bad_geometry(mesh):
     x2 = jnp.asarray(create_data(1, 8192).astype(np.float32))
     with pytest.raises(ValueError):  # irrational factor
         sharded_interpolatef(x2, bd.SincFunction(), 1.4142135, 0.0, 10, mesh)
+
+
+@pytest.mark.parametrize("cplx", [True, False])
+def test_sharded_convolve_mat_matches_single(mesh, cplx):
+    """Channel-parallel MIMO convolution (parallel.mimo) == the
+    single-device matrix._convolve_mat frequency-domain einsum
+    (time_freq/mod.rs:365-453)."""
+    from basic_dsp_tpu.parallel import sharded_convolve_mat
+    from basic_dsp_tpu import matrix as mat
+
+    rng = np.random.default_rng(21)
+    C, n, m = 16, 1024, 9
+    if cplx:
+        x = (rng.normal(size=(C, n)) + 1j * rng.normal(size=(C, n))
+             ).astype(np.complex64)
+        imp = (rng.normal(size=(C, C, m)) + 1j * rng.normal(size=(C, C, m))
+               ).astype(np.complex64)
+    else:
+        x = rng.normal(size=(C, n)).astype(np.float32)
+        imp = rng.normal(size=(C, C, m)).astype(np.float32)
+    expected = np.asarray(mat._convolve_mat(jnp.asarray(x), jnp.asarray(imp),
+                                            cplx))
+    xs = jax.device_put(jnp.asarray(x), jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("dsp", None)))
+    got = np.asarray(sharded_convolve_mat(xs, imp, mesh))
+    scale = float(np.abs(expected).max())
+    assert_vector_eq(got, expected, tol=1e-5 * max(scale, 1.0))
+
+
+def test_sharded_convolve_mat_rejects_bad_geometry(mesh):
+    from basic_dsp_tpu.parallel import sharded_convolve_mat
+    rng = np.random.default_rng(22)
+    d = mesh.devices.size
+    C = d + 1  # not divisible
+    x = jnp.asarray(rng.normal(size=(C, 256)).astype(np.float32))
+    imp = rng.normal(size=(C, C, 5)).astype(np.float32)
+    with pytest.raises(ValueError, match="mesh size"):
+        sharded_convolve_mat(x, imp, mesh)
+
+
+def test_streaming_fir_with_sharded_chunks(mesh):
+    """Streaming under SPMD: StreamingFir.process accepts time-sharded
+    chunks (GSPMD propagates the sharding through the jitted step) and
+    the chunk-chained result equals the single-shot linear convolution —
+    the serving pattern for dryrun stage 6."""
+    from basic_dsp_tpu.streaming import StreamingFir
+
+    rng = np.random.default_rng(23)
+    n, m, chunk = 4096, 33, 1024
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    taps = (rng.normal(size=m) + 1j * rng.normal(size=m)
+            ).astype(np.complex64)
+    fir = StreamingFir(jnp.asarray(taps))
+    st = fir.init_state()
+    outs = []
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("dsp"))
+    for i in range(0, n, chunk):
+        xc = jax.device_put(jnp.asarray(x[i:i + chunk]), sharding)
+        y, st = fir.process(xc, st)
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs)
+    expected = np.convolve(x, taps)[: n]
+    scale = float(np.abs(expected).max())
+    assert_vector_eq(got, expected, tol=1e-4 * max(scale, 1.0))
