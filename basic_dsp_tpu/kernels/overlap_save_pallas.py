@@ -4,24 +4,32 @@ fft(block) -> multiply H -> ifft -> copy/restore loop).
 
 The XLA realization (ops/conv_ops.blocked_linear_conv) spends ~4 HBM round
 trips because each FFT/IFFT stage materializes.  This kernel keeps a batch
-of blocks RESIDENT IN VMEM for the whole fft -> xH -> ifft pipeline:
+of blocks RESIDENT IN VMEM for the whole fft -> xH -> ifft pipeline.
 
-* the per-block FFT/IFFT are themselves factored four-steps whose stages
-  are DFT matmuls against precomputed (r1, r1)/(r2, r2) DFT matrices —
-  pure MXU work, no jnp.fft inside the kernel;
-* the frequency response H is precomputed in the factored (k1, k2) layout
-  so forward order never needs normalizing inside the kernel;
-* blocks are zero-padded overlap-add tiles (L = fft_len - pad, pad a
-  multiple of 128) so every BlockSpec stays lane-aligned; the cross-block
-  tail fold happens outside on slices (cheap, pad-sized).
+Round-3 rewrite (VERDICT r2 #3): the round-2 version died in Mosaic with
+an INTERNAL HTTP 500; it used batched 3-D einsums and in-kernel
+``swapaxes(-1, -2)`` (lane<->sublane transposes).  This version follows
+the idiom of the spectrum kernel that COMPILES AND WINS on this runtime
+(kernels/spectrum_pallas.py):
+
+* the FFT factorization is pinned to ``fft_len = r1 * 128`` so the lane
+  axis is always exactly 128 — every lane slice is aligned;
+* per-block (r1, 128) matrices are re-batched by CONCATENATION — along
+  lanes for the left (stage-1) dots, along sublanes for the right
+  (stage-2) dots — never by axis transposes;
+* every matmul is a plain 2-D dot against a constant plane, in 3-mult
+  (Karatsuba) complex form, precision pinned (CLAUDE.md:
+  preferred_element_type alone rounds operands to bf16).
+
+Per (B, fft_len) tile: A_b = block_b.reshape(r1, 128); forward
+D = (F1 @ A ∘ T) @ F2, multiply the factored-layout H, inverse
+A' = F1i @ ((Y @ F2i) ∘ Ti); 12 dots total (3 per complex matmul).
 
 Contract: ``overlap_save_pallas(x, h, is_complex, fft_len)`` computes the
 same circular centered convolution as ``ops.conv_ops.overlap_save``.
 
-Status: correctness-verified in interpret mode (tests/test_pallas_os.py);
-gated OFF by default — Mosaic compilation hangs on the axon tunnel
-(CLAUDE.md), re-test on standard TPU runtimes via
-``DspConfig(use_pallas_overlap_save=True)`` before enabling.
+Correctness: interpret-mode parity in tests/test_pallas_os.py; on-chip
+compile/parity/A-B via probe_os3.py.
 """
 from __future__ import annotations
 
@@ -42,125 +50,141 @@ DEFAULT_BLOCKS_PER_TILE = 8
 
 
 def _factor_fft_len(fft_len: int):
-    """fft_len = r1 * r2 with both MXU-friendly (powers of two >= 32)."""
-    r1 = 1 << ((fft_len - 1).bit_length() // 2)
-    r2 = fft_len // r1
-    assert r1 * r2 == fft_len, "fft_len must be a power of two"
-    return r1, r2
+    """fft_len = r1 * 128: the lane axis is pinned to 128 so every lane
+    slice in the kernel is Mosaic-aligned.  Needs 1024 <= fft_len <= 16384
+    (r1 in [8, 128]: sublane tiles stay multiples of 8)."""
+    assert fft_len % LANES == 0 and fft_len & (fft_len - 1) == 0, fft_len
+    r1 = fft_len // LANES
+    assert 8 <= r1 <= 128, fft_len
+    return r1, LANES
+
+
+def supported(fft_len: int) -> bool:
+    return (fft_len & (fft_len - 1)) == 0 and 1024 <= fft_len <= 16384
 
 
 @functools.lru_cache(maxsize=8)
 def _dft_planes(fft_len: int):
-    """Precomputed DFT stage constants, all float32 numpy:
+    """Forward/inverse DFT stage constants as f32 numpy planes:
 
-    F1[k1, j1] = w_r1^(k1 j1)           (r1, r1)
-    T [k1, j2] = w_N^(k1 j2)            (r1, r2)
-    F2[j2, k2] = w_r2^(j2 k2)           (r2, r2)
-    plus the conjugate/inverse versions with 1/r scaling folded in.
+    F1[k1, j1] = w_r1^(k1 j1)            (r1, r1)
+    T [k1, j2] = w_N^(k1 j2)             (r1, 128)
+    F2[j2, k2] = w_128^(j2 k2)           (128, 128)
+    and the conjugates with the 1/fft_len IFFT scale folded into F1i/F2i.
+    Returned per matrix as LEFT-Karatsuba planes (Fr, Fi+Fr, Fi-Fr) for
+    the stage-1 dots and RIGHT-Karatsuba planes (Fr, Fi-Fr, Fi+Fr) for
+    the stage-2 dots (see spectrum_pallas._dft_planes/_inner_consts).
     """
     r1, r2 = _factor_fft_len(fft_len)
     j1 = np.arange(r1)
     j2 = np.arange(r2)
-    F1 = np.exp(-2j * np.pi * np.outer(j1, j1) / r1)
-    T = np.exp(-2j * np.pi * np.outer(j1, j2) / fft_len)
-    F2 = np.exp(-2j * np.pi * np.outer(j2, j2) / r2)
-    F1i = np.conj(F1) / r1
-    F2i = np.conj(F2) / r2
-    Ti = np.conj(T)
-    c64 = lambda a: a.astype(np.complex64)  # noqa: E731
-    return tuple(np.ascontiguousarray(p).astype(np.float32)
-                 for m in map(c64, (F1, T, F2, F1i, Ti, F2i))
-                 for p in (m.real, m.imag))
+    F1 = np.exp(-2j * np.pi * np.outer(j1, j1) / r1).astype(np.complex64)
+    T = np.exp(-2j * np.pi * np.outer(j1, j2) / fft_len).astype(np.complex64)
+    F2 = np.exp(-2j * np.pi * np.outer(j2, j2) / r2).astype(np.complex64)
+    F1i = (np.conj(F1) / r1).astype(np.complex64)
+    F2i = (np.conj(F2) / r2).astype(np.complex64)
+    Ti = np.conj(T).astype(np.complex64)
+
+    def left(M):   # planes for k = L @ d (constant on the LEFT)
+        fr, fi = M.real.astype(np.float32), M.imag.astype(np.float32)
+        return (np.ascontiguousarray(fr), np.ascontiguousarray(fi + fr),
+                np.ascontiguousarray(fi - fr))
+
+    def right(M):  # planes for k = d @ R (constant on the RIGHT)
+        fr, fi = M.real.astype(np.float32), M.imag.astype(np.float32)
+        return (np.ascontiguousarray(fr), np.ascontiguousarray(fi - fr),
+                np.ascontiguousarray(fi + fr))
+
+    return (left(F1), right(F2), left(F1i), right(F2i),
+            (np.ascontiguousarray(T.real.astype(np.float32)),
+             np.ascontiguousarray(T.imag.astype(np.float32))),
+            (np.ascontiguousarray(Ti.real.astype(np.float32)),
+             np.ascontiguousarray(Ti.imag.astype(np.float32))))
 
 
-def _cm(ar, ai, br, bi):
-    """Complex matmul on f32 planes (batched last-two-dims contraction).
-    precision=HIGHEST: ``preferred_element_type`` only pins the
-    accumulator; operands would otherwise round to bf16 on the MXU."""
-    def mm(a, b):
-        return jnp.einsum("...ij,jk->...ik", a, b,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-    rr = mm(ar, br)
-    ri = mm(ar, bi)
-    ir = mm(ai, br)
-    ii = mm(ai, bi)
-    return rr - ii, ri + ir
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
-def _four_step(xr, xi, r1, r2, F1r, F1i, Tr, Ti, F2r, F2i):
-    """Factored DFT of (B, fft_len) planes -> (B, r1, r2) (k1, k2) layout.
+def _cm_left(fr, fp, fm, dr, di):
+    """(fr + i fi) @ (dr + i di), 3 dots, LEFT planes (fr, fi+fr, fi-fr)."""
+    k1 = _dot(fr, dr + di)
+    k2 = _dot(fm, dr)
+    k3 = _dot(fp, di)
+    return k1 - k3, k1 + k2
 
-    D = ((F1 @ A) * T) @ F2 with A[b, j1, j2] = x[b, j1*r2 + j2].
-    Stage 1 contracts j1: computed as (A^T @ F1^T)^T via last-axis
-    contraction so every matmul is a plain (..., i, j) x (j, k) MXU op.
+
+def _cm_right(dr, di, fr, fm, fp):
+    """(dr + i di) @ (fr + i fi), 3 dots, RIGHT planes (fr, fi-fr, fi+fr)."""
+    k1 = _dot(dr + di, fr)
+    k2 = _dot(dr, fm)
+    k3 = _dot(di, fp)
+    return k1 - k3, k1 + k2
+
+
+def _os_kernel(br_ref, bi_ref, hr_ref, hi_ref,
+               f1r_ref, f1p_ref, f1m_ref, f2r_ref, f2m_ref, f2p_ref,
+               g1r_ref, g1p_ref, g1m_ref, g2r_ref, g2m_ref, g2p_ref,
+               tr_ref, ti_ref, ur_ref, ui_ref,
+               or_ref, oi_ref, *, r1, B, L):
+    """One grid step: (B, L) blocks -> (B, fft_len) linear-conv pieces.
+
+    All data movement is aligned concatenation (lanes for the per-block
+    stage-1 layout, sublanes for the wide stage-2 stack); the only
+    reshapes merge/split whole trailing axes — the pattern the spectrum
+    kernel compiles with on this runtime.
     """
-    B = xr.shape[0]
-    Ar = xr.reshape(B, r1, r2)
-    Ai = xi.reshape(B, r1, r2)
-    # Stage 1 over j1: swap to (B, j2, j1), contract with F1^T == F1
-    # (symmetric), swap back to (B, k1, j2).
-    Br_, Bi_ = _cm(Ar.swapaxes(-1, -2), Ai.swapaxes(-1, -2), F1r, F1i)
-    Br_ = Br_.swapaxes(-1, -2)
-    Bi_ = Bi_.swapaxes(-1, -2)
-    Cr = Br_ * Tr - Bi_ * Ti
-    Ci = Br_ * Ti + Bi_ * Tr
-    return _cm(Cr, Ci, F2r, F2i)        # (B, k1, k2)
-
-
-def _four_step_inv(Dr, Di, r1, r2, F1ir, F1ii, Tir, Tii, F2ir, F2ii):
-    """Inverse of _four_step: A = F1i @ ((D @ F2i) * Ti) back to planes."""
-    B = Dr.shape[0]
-    Cr, Ci = _cm(Dr, Di, F2ir, F2ii)               # undo stage 2
-    Cr2 = Cr * Tir - Ci * Tii                       # undo twiddle
-    Ci2 = Cr * Tii + Ci * Tir
-    # Undo stage 1 (contract k1): swap, multiply F1i^T == F1i, swap back.
-    Ar, Ai = _cm(Cr2.swapaxes(-1, -2), Ci2.swapaxes(-1, -2), F1ir, F1ii)
-    Ar = Ar.swapaxes(-1, -2)
-    Ai = Ai.swapaxes(-1, -2)
-    return Ar.reshape(B, r1 * r2), Ai.reshape(B, r1 * r2)
-
-
-def _os_kernel(br_ref, bi_ref, hr_ref, hi_ref, c_ref, or_ref, oi_ref, *,
-               r1, r2, L):
-    """One grid step: (B, L) blocks -> (B, fft_len) linear-conv pieces."""
-    fft_len = r1 * r2
-    B = br_ref.shape[0]
+    fft_len = r1 * LANES
     pad = fft_len - L
     zeros = jnp.zeros((B, pad), dtype=jnp.float32)
     xr = jnp.concatenate([br_ref[...], zeros], axis=-1)
     xi = jnp.concatenate([bi_ref[...], zeros], axis=-1)
-    consts = c_ref[...]
-    (F1r, F1i, Tr, Ti, F2r, F2i,
-     F1ir, F1ii, Tir, Tii, F2ir, F2ii) = [consts[i] for i in range(12)]
-    # Constants are stored padded to (r_max, r_max); slice actual shapes.
-    F1r, F1i = F1r[:r1, :r1], F1i[:r1, :r1]
-    Tr, Ti = Tr[:r1, :r2], Ti[:r1, :r2]
-    F2r, F2i = F2r[:r2, :r2], F2i[:r2, :r2]
-    F1ir, F1ii = F1ir[:r1, :r1], F1ii[:r1, :r1]
-    Tir, Tii = Tir[:r1, :r2], Tii[:r1, :r2]
-    F2ir, F2ii = F2ir[:r2, :r2], F2ii[:r2, :r2]
-    Dr, Di = _four_step(xr, xi, r1, r2, F1r, F1i, Tr, Ti, F2r, F2i)
-    Hr = hr_ref[...][:r1, :r2]
-    Hi = hi_ref[...][:r1, :r2]
-    Yr = Dr * Hr - Di * Hi
-    Yi = Dr * Hi + Di * Hr
-    yr, yi = _four_step_inv(Yr, Yi, r1, r2, F1ir, F1ii, Tir, Tii,
-                            F2ir, F2ii)
-    or_ref[...] = yr
-    oi_ref[...] = yi
-
-
-def _pack_consts(fft_len: int):
-    r1, r2 = _factor_fft_len(fft_len)
-    planes = _dft_planes(fft_len)
-    r = max(r1, r2)
-    out = np.zeros((12, r, r), dtype=np.float32)
-    shapes = [(r1, r1), (r1, r1), (r1, r2), (r1, r2), (r2, r2), (r2, r2),
-              (r1, r1), (r1, r1), (r1, r2), (r1, r2), (r2, r2), (r2, r2)]
-    for i, (p, (a, b)) in enumerate(zip(planes, shapes)):
-        out[i, :a, :b] = p
-    return jnp.asarray(out)
+    # Per-block (r1, 128) matrices, lanes-concatenated: (r1, B*128).
+    Ar3 = xr.reshape(B, r1, LANES)
+    Ai3 = xi.reshape(B, r1, LANES)
+    ar = jnp.concatenate([Ar3[b] for b in range(B)], axis=-1)
+    ai = jnp.concatenate([Ai3[b] for b in range(B)], axis=-1)
+    # Forward stage 1 (contract j1): left-constant 3-dot complex matmul.
+    br, bi = _cm_left(f1r_ref[...], f1p_ref[...], f1m_ref[...], ar, ai)
+    # Twiddle, tiled along the lane concat.
+    tr = jnp.concatenate([tr_ref[...]] * B, axis=-1)
+    ti = jnp.concatenate([ti_ref[...]] * B, axis=-1)
+    cr = br * tr - bi * ti
+    ci = br * ti + bi * tr
+    # Re-batch for the right dots: sublane-concat the aligned lane slices
+    # -> (B*r1, 128).
+    sr = jnp.concatenate([cr[:, b * LANES:(b + 1) * LANES]
+                          for b in range(B)], axis=0)
+    si = jnp.concatenate([ci[:, b * LANES:(b + 1) * LANES]
+                          for b in range(B)], axis=0)
+    # Forward stage 2 (contract j2): right-constant 3-dot complex matmul.
+    dr, di = _cm_right(sr, si, f2r_ref[...], f2m_ref[...], f2p_ref[...])
+    # Frequency response in the factored (k1, k2) layout, tiled along
+    # sublanes to match the (B*r1, 128) stack.
+    hr = jnp.concatenate([hr_ref[...]] * B, axis=0)
+    hi = jnp.concatenate([hi_ref[...]] * B, axis=0)
+    yr = dr * hr - di * hi
+    yi = dr * hi + di * hr
+    # Inverse stage 2 (right dot against F2i planes).
+    er, ei = _cm_right(yr, yi, g2r_ref[...], g2m_ref[...], g2p_ref[...])
+    # Inverse twiddle, tiled along sublanes.
+    ur = jnp.concatenate([ur_ref[...]] * B, axis=0)
+    ui = jnp.concatenate([ui_ref[...]] * B, axis=0)
+    vr = er * ur - ei * ui
+    vi = er * ui + ei * ur
+    # Back to the lanes-concat layout for the inverse left dot.
+    wr = jnp.concatenate([vr[b * r1:(b + 1) * r1] for b in range(B)],
+                         axis=-1)
+    wi = jnp.concatenate([vi[b * r1:(b + 1) * r1] for b in range(B)],
+                         axis=-1)
+    zr, zi = _cm_left(g1r_ref[...], g1p_ref[...], g1m_ref[...], wr, wi)
+    # (r1, B*128) -> (B, fft_len): stack the lane slices (block-major),
+    # then merge the whole trailing (r1, 128) into lanes.
+    outs_r = jnp.stack([zr[:, b * LANES:(b + 1) * LANES] for b in range(B)])
+    outs_i = jnp.stack([zi[:, b * LANES:(b + 1) * LANES] for b in range(B)])
+    or_ref[...] = outs_r.reshape(B, fft_len)
+    oi_ref[...] = outs_i.reshape(B, fft_len)
 
 
 @functools.partial(jax.jit, static_argnames=("fft_len", "blocks_per_tile",
@@ -181,38 +205,58 @@ def _blocked_linear_conv_pallas(xr, xi, hr, hi, fft_len: int,
     rows = tiles * B
     xr_b = jnp.pad(xr, (0, rows * L - n)).reshape(rows, L)
     xi_b = jnp.pad(xi, (0, rows * L - n)).reshape(rows, L)
-    # H in the factored (k1, k2) layout (forward four-step of padded taps),
-    # with the 1/fft_len IFFT scale folded in via F1i/F2i already.
-    hpad_r = jnp.pad(hr, (0, fft_len - m_eff))
-    hpad_i = jnp.pad(hi, (0, fft_len - m_eff))
-    pl_ = _dft_planes(fft_len)
-    Hr_, Hi_ = _four_step(hpad_r[None], hpad_i[None], r1, r2,
-                          *[jnp.asarray(p) for p in pl_[:6]])
-    r = max(r1, r2)
-    Hr_p = jnp.zeros((r, r), jnp.float32).at[:r1, :r2].set(Hr_[0])
-    Hi_p = jnp.zeros((r, r), jnp.float32).at[:r1, :r2].set(Hi_[0])
-    consts = _pack_consts(fft_len)
+    # H in the factored (k1, k2) layout: forward four-step of the padded
+    # taps, computed OUTSIDE the kernel in plain XLA (tiny).
+    planes = _dft_planes(fft_len)
+    (f1, f2, g1, g2, (Tr, Ti), (Uir, Uii)) = planes
+    hpad = (jnp.pad(hr, (0, fft_len - m_eff)).astype(jnp.complex64)
+            + 1j * jnp.pad(hi, (0, fft_len - m_eff)).astype(jnp.complex64))
+    A = hpad.reshape(r1, r2)
+    j1 = np.arange(r1)
+    j2 = np.arange(r2)
+    F1c = jnp.asarray(np.exp(-2j * np.pi * np.outer(j1, j1) / r1)
+                      .astype(np.complex64))
+    Tc = jnp.asarray(np.exp(-2j * np.pi * np.outer(j1, j2) / fft_len)
+                     .astype(np.complex64))
+    F2c = jnp.asarray(np.exp(-2j * np.pi * np.outer(j2, j2) / r2)
+                      .astype(np.complex64))
+    H = jnp.matmul(F1c, A, precision="highest") * Tc
+    H = jnp.matmul(H, F2c, precision="highest")
+    Hr_p = jnp.real(H).astype(jnp.float32)
+    Hi_p = jnp.imag(H).astype(jnp.float32)
 
     grid = (tiles,)
-    in_specs = [
-        pl.BlockSpec((B, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((r, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((r, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, r, r), lambda i: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_spec = pl.BlockSpec((B, fft_len), lambda i: (i, 0),
+
+    def tile_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1),
                             memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    consts = ([jnp.asarray(p) for p in f1] + [jnp.asarray(p) for p in f2]
+              + [jnp.asarray(p) for p in g1] + [jnp.asarray(p) for p in g2]
+              + [jnp.asarray(Tr), jnp.asarray(Ti),
+                 jnp.asarray(Uir), jnp.asarray(Uii)])
+    const_shapes = ([(r1, r1)] * 3 + [(r2, r2)] * 3
+                    + [(r1, r1)] * 3 + [(r2, r2)] * 3
+                    + [(r1, r2)] * 2 + [(r1, r2)] * 2)
+    in_specs = ([tile_spec((B, L)), tile_spec((B, L)),
+                 const_spec((r1, r2)), const_spec((r1, r2))]
+                + [const_spec(s) for s in const_shapes])
+    out_spec = tile_spec((B, fft_len))
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     yr, yi = pl.pallas_call(
-        functools.partial(_os_kernel, r1=r1, r2=r2, L=L),
+        functools.partial(_os_kernel, r1=r1, B=B, L=L),
         grid=grid,
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((rows, fft_len), jnp.float32),
                    jax.ShapeDtypeStruct((rows, fft_len), jnp.float32)),
+        compiler_params=params,
         interpret=interpret,
-    )(xr_b, xi_b, Hr_p, Hi_p, consts)
+    )(xr_b, xi_b, Hr_p, Hi_p, *consts)
 
     # Overlap-add fold (outside the kernel: slices over pad-sized tails).
     def fold(y):

@@ -102,13 +102,25 @@ def _dft_planes(m: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _inner_consts(L2: int, n2: int, shift_cols: int):
+def _inner_consts(L2: int, n2: int, shift_cols: int,
+                  permuted: bool = False):
     """(Wr, Wi, Fr, Fi) numpy planes: W[k1', j2'] = w_n2^(k1' j2')
     (L2, 128); F[j2', k2'] = w_128^(j2' k2') with output columns rotated
-    by ``shift_cols`` (the global fftshift fold)."""
+    by ``shift_cols`` (the global fftshift fold).
+
+    ``permuted``: W rows reordered to the DFT-m0 finish's NATIVE layout
+    p = c_idx*m0 + k_hi (the kernel then skips the in-VMEM stack +
+    swapaxes un-permute — the single biggest VMEM copy in the kernel;
+    the XLA output transpose absorbs the reorder at no extra cost)."""
     k1 = np.arange(L2)[:, None]
     j2 = np.arange(LANES)[None, :]
     W = np.exp(-2j * np.pi * (k1 * j2) / n2).astype(np.complex64)
+    m0 = min(L2, 128)
+    c = L2 // m0
+    if permuted and c > 1:
+        # row k1' = k_hi*c + c_idx lives at p = c_idx*m0 + k_hi.
+        W = np.ascontiguousarray(
+            W.reshape(m0, c, LANES).transpose(1, 0, 2).reshape(L2, LANES))
     k2 = (np.arange(LANES) + shift_cols) % LANES
     F = np.exp(-2j * np.pi * np.outer(np.arange(LANES), k2) / LANES
                ).astype(np.complex64)
@@ -122,7 +134,7 @@ def _inner_consts(L2: int, n2: int, shift_cols: int):
 
 
 def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
-                   prec=jax.lax.Precision.HIGHEST):
+                   prec=jax.lax.Precision.HIGHEST, permuted=False):
     """Natural-order FFT of length L2 along axis -2 of (..., L2, 128)
     planar planes: mixed radix-4/2 autosort (Stockham) stages down to
     sub-transform length m0 = min(L2, 128), then ONE MXU DFT-m0 matmul
@@ -147,6 +159,7 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
     c, m = 1, L2
     m0 = min(L2, 128) if fm is not None else 1
     stage = 0
+    pieces = None  # ((pieces_r, pieces_i), c_old): last-stage outputs
     while m > m0:
         arv = ar.reshape(B, c, m, LANES)
         aiv = ai.reshape(B, c, m, LANES)
@@ -170,12 +183,20 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
             u1r, u1i = t2r + t3r, t2i + t3i
             u2r, u2i = t0r - t1r, t0i - t1i
             u3r, u3i = t2r - t3r, t2i - t3i
-            nr = jnp.concatenate(
-                [y0r, u1r * w1r - u1i * w1i, u2r * w2r - u2i * w2i,
-                 u3r * w3r - u3i * w3i], axis=1)
-            ni = jnp.concatenate(
-                [y0i, u1r * w1i + u1i * w1r, u2r * w2i + u2i * w2r,
-                 u3r * w3i + u3i * w3r], axis=1)
+            pcs_r = [y0r, u1r * w1r - u1i * w1i, u2r * w2r - u2i * w2i,
+                     u3r * w3r - u3i * w3i]
+            pcs_i = [y0i, u1r * w1i + u1i * w1r, u2r * w2i + u2i * w2r,
+                     u3r * w3i + u3i * w3r]
+            if q == m0:
+                # Last stage before the MXU finish: skip this stage's
+                # concat AND the finish's re-slice — the finish operand
+                # is assembled directly from the butterfly outputs
+                # (one concat instead of two full-block copies).
+                pieces = ((pcs_r, pcs_i), c)
+                c, m = 4 * c, q
+                break
+            nr = jnp.concatenate(pcs_r, axis=1)
+            ni = jnp.concatenate(pcs_i, axis=1)
             c, m = 4 * c, q
         else:
             half = m // 2
@@ -184,8 +205,14 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
             er, ei = arv[:, :, :half, :], aiv[:, :, :half, :]
             orr, oi = arv[:, :, half:, :], aiv[:, :, half:, :]
             dr, di = er - orr, ei - oi
-            nr = jnp.concatenate([er + orr, dr * wr - di * wi], axis=1)
-            ni = jnp.concatenate([ei + oi, dr * wi + di * wr], axis=1)
+            pcs_r = [er + orr, dr * wr - di * wi]
+            pcs_i = [ei + oi, dr * wi + di * wr]
+            if half == m0:
+                pieces = ((pcs_r, pcs_i), c)
+                c, m = 2 * c, half
+                break
+            nr = jnp.concatenate(pcs_r, axis=1)
+            ni = jnp.concatenate(pcs_i, axis=1)
             c, m = 2 * c, half
         if scratch is not None and m > m0:
             rref, iref = scratch[stage % 2]
@@ -206,10 +233,22 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
     # 3-mult complex matmul (see _dft_planes): 3 dots total, not 4*G.
     fmr, fmp, fmm = fm
     G = B * c
-    arv = ar.reshape(G, m0, LANES)
-    aiv = ai.reshape(G, m0, LANES)
-    cat_r = jnp.concatenate([arv[g] for g in range(G)], axis=-1)
-    cat_i = jnp.concatenate([aiv[g] for g in range(G)], axis=-1)
+    if pieces is not None:
+        # Assemble directly from the last stage's butterfly outputs:
+        # g = b*c + c_idx with c_idx = j*c_old + oi (Stockham concat
+        # order), each piece (B, c_old, m0, LANES).
+        (pcs_r, pcs_i), c_old = pieces
+        cat_r = jnp.concatenate(
+            [pcs_r[j][b, oi] for b in range(B)
+             for j in range(len(pcs_r)) for oi in range(c_old)], axis=-1)
+        cat_i = jnp.concatenate(
+            [pcs_i[j][b, oi] for b in range(B)
+             for j in range(len(pcs_i)) for oi in range(c_old)], axis=-1)
+    else:
+        arv = ar.reshape(G, m0, LANES)
+        aiv = ai.reshape(G, m0, LANES)
+        cat_r = jnp.concatenate([arv[g] for g in range(G)], axis=-1)
+        cat_i = jnp.concatenate([aiv[g] for g in range(G)], axis=-1)
     k1 = _dot_f32(fmr, cat_r + cat_i, prec)
     k2 = _dot_f32(fmm, cat_r, prec)
     k3 = _dot_f32(fmp, cat_i, prec)
@@ -219,6 +258,14 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
     outs_i = [ec_i[:, g * LANES:(g + 1) * LANES] for g in range(G)]
     er = jnp.stack(outs_r).reshape(B, c, m0, LANES)
     ei = jnp.stack(outs_i).reshape(B, c, m0, LANES)
+    if permuted:
+        # Leave rows in the finish's native p = c_idx*m0 + k_hi order:
+        # the lane DFT is row-independent, the twiddle W comes
+        # pre-permuted (_inner_consts), and the caller's XLA output
+        # transpose absorbs the reorder — this skips a full stack +
+        # swapaxes relayout of both complex planes per block (the
+        # dominant non-dot VMEM copy in the kernel, probe_breakdown3).
+        return er.reshape(B, L2, LANES), ei.reshape(B, L2, LANES)
     # (B, c, k_hi, L) -> (B, k_hi, c, L): major-dim permute only.
     er = jnp.swapaxes(er, 1, 2).reshape(B, L2, LANES)
     ei = jnp.swapaxes(ei, 1, 2).reshape(B, L2, LANES)
@@ -228,7 +275,7 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
 def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref, scratch, *, L2, rows,
                  transposed=False, acc_ref=None, nblocks=1,
-                 prec=jax.lax.Precision.HIGHEST):
+                 prec=jax.lax.Precision.HIGHEST, permuted=False):
     """Shared kernel tail: Stockham+MXU row FFT, inner twiddle W, lane
     DFT-128 (with the fftshift column rotation folded), magnitude.
 
@@ -241,7 +288,7 @@ def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
     magnitude transpose (16 MB read + 16 MB write at 4M)."""
     gr, gi = _stockham_axis(gr, gi, L2, scratch,
                             fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]),
-                            prec=prec)
+                            prec=prec, permuted=permuted)
     wr = wr_ref[...][None, :, :]
     wi = wi_ref[...][None, :, :]
     hr = gr * wr - gi * wi
@@ -271,7 +318,7 @@ def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
 def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                    fmr_ref, fmp_ref, fmm_ref, mag_ref, sra, sia, srb, sib,
                    *acc, L2, rows, nblocks=1, tw_refs=(), transposed=False,
-                   prec=jax.lax.Precision.HIGHEST):
+                   prec=jax.lax.Precision.HIGHEST, permuted=False):
     gr = br_ref[...].reshape(rows, L2, LANES)
     gi = bi_ref[...].reshape(rows, L2, LANES)
     if tw_refs:
@@ -290,7 +337,7 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  ((sra, sia), (srb, sib)), L2=L2, rows=rows,
                  transposed=transposed,
                  acc_ref=acc[0] if acc else None, nblocks=nblocks,
-                 prec=prec)
+                 prec=prec, permuted=permuted)
 
 
 def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
@@ -300,7 +347,7 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
                   bre, bim, pr0, pi0, pr1, pi1,
                   sra, sia, srb, sib, *rest,
                   L2, rows, n1, n2, panel, transposed=False,
-                  prec=jax.lax.Precision.HIGHEST):
+                  prec=jax.lax.Precision.HIGHEST, permuted=False):
     """Four-step spectrum with stage 1 *inside* the kernel: B = F1 @ A
     never round-trips HBM.  A stays in HBM (memory_space=ANY) and is
     DMA'd in (n1, panel) column panels during grid step 0; the stage-1
@@ -360,17 +407,18 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref,
                  ((sra, sia), (srb, sib)), L2=L2, rows=rows,
                  transposed=transposed, acc_ref=acc_ref,
-                 nblocks=n1 // rows, prec=prec)
+                 nblocks=n1 // rows, prec=prec, permuted=permuted)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("shift", "interpret", "transposed",
-                                    "budget"))
+                                    "budget", "permuted"))
 def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                interpret: bool = False, Tr: jnp.ndarray = None,
                Ti: jnp.ndarray = None,
                transposed: bool = False,
-               budget: str = None) -> jnp.ndarray:
+               budget: str = None,
+               permuted: bool = False) -> jnp.ndarray:
     """|FFT(rows)| (optionally global-fftshift-folded) of planar rows.
 
     Br, Bi: (n1, n2) f32 planes of the post-stage-1 four-step data —
@@ -402,8 +450,11 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     # multiple of ... it lands on the k2' axis iff N/2 = n1*L2*64, i.e.
     # always (N/2 / (n1*L2) = 64).
     shift_cols = 64 if shift else 0
+    assert not (permuted and transposed), \
+        "permuted layout requires the XLA-side output transpose"
     Wr, Wi, Fr, Fm, Fp = (jnp.asarray(p)
-                          for p in _inner_consts(L2, n2, shift_cols))
+                          for p in _inner_consts(L2, n2, shift_cols,
+                                                 permuted))
     m0 = min(L2, 128)
     Fmr, Fmp, Fmm = (jnp.asarray(p) for p in _dft_planes(m0))
     rows = min(ROWS_PER_BLOCK, n1)
@@ -441,7 +492,7 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                            memory_space=pltpu.VMEM)
     base = functools.partial(_rowfft_kernel, L2=L2, rows=rows,
                              nblocks=n1 // rows, transposed=transposed,
-                             prec=_as_prec(budget))
+                             prec=_as_prec(budget), permuted=permuted)
     if fold_tw:
         def kernel(br, bi, tr, ti, wr, wi, fr, fm, fp, fmr, fmp, fmm,
                    mag, *scr):
@@ -469,12 +520,13 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
 
 @functools.partial(jax.jit,
                    static_argnames=("shift", "interpret", "transposed",
-                                    "budget"))
+                                    "budget", "permuted"))
 def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
                        shift: bool = True,
                        interpret: bool = False,
                        transposed: bool = False,
-                       budget: str = None) -> jnp.ndarray:
+                       budget: str = None,
+                       permuted: bool = False) -> jnp.ndarray:
     """|fftshift(FFT)| of the (n1, n2)-reshaped planar signal with BOTH
     four-step stages inside one Pallas kernel: stage-1 DFT (3-mult MXU
     dots over HBM-DMA'd column panels into a persistent VMEM scratch),
@@ -491,8 +543,11 @@ def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
     f1m = jnp.asarray(F1i - F1r)
     f1p = jnp.asarray(F1i + F1r)
     shift_cols = 64 if shift else 0
+    assert not (permuted and transposed), \
+        "permuted layout requires the XLA-side output transpose"
     Wr, Wi, Fr, Fm, Fp = (jnp.asarray(p)
-                          for p in _inner_consts(L2, n2, shift_cols))
+                          for p in _inner_consts(L2, n2, shift_cols,
+                                                 permuted))
     m0 = min(L2, 128)
     Fmr, Fmp, Fmm = (jnp.asarray(p) for p in _dft_planes(m0))
     rows = min(ROWS_PER_BLOCK, n1)
@@ -529,7 +584,7 @@ def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
     kernel = functools.partial(_fused_kernel, L2=L2, rows=rows,
                                n1=n1, n2=n2, panel=panel,
                                transposed=transposed,
-                               prec=_as_prec(budget))
+                               prec=_as_prec(budget), permuted=permuted)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -544,6 +599,21 @@ def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
         interpret=interpret,
     )(Ar, Ai, jnp.asarray(Tr), jnp.asarray(Ti),
       f1r, f1m, f1p, Wr, Wi, Fr, Fm, Fp, Fmr, Fmp, Fmm)
+
+
+def natural_flatten(M: jnp.ndarray, permuted: bool = False) -> jnp.ndarray:
+    """Flatten a rowfft_mag (n1, L2, 128) magnitude block to the natural
+    shifted-spectrum order.  With ``permuted=True`` the middle axis is in
+    the DFT-m0 finish's native order p = c_idx*m0 + k_hi and the reorder
+    folds into this single XLA transpose: flat index
+    ((k2s*m0 + k_hi)*c + c_idx)*n1 + k1 == (k2s*L2 + k1')*n1 + k1."""
+    n1, L2, _ = M.shape
+    m0 = min(L2, 128)
+    c = L2 // m0
+    if not permuted or c == 1:
+        return M.transpose(2, 1, 0).reshape(-1)
+    return (M.reshape(n1, c, m0, LANES).transpose(3, 2, 1, 0)
+            .reshape(-1))
 
 
 def supported(n1: int, n2: int) -> bool:
@@ -582,14 +652,15 @@ def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
         M = rowfft_mag(jnp.real(B), jnp.imag(B), shift=True,
                        interpret=interpret,
                        Tr=jnp.asarray(Tr), Ti=jnp.asarray(Ti),
-                       transposed=transposed)
+                       transposed=transposed, permuted=not transposed)
     else:
         T = jax.lax.complex(jnp.asarray(Tr), jnp.asarray(Ti))
         C = B * T
         M = rowfft_mag(jnp.real(C), jnp.imag(C), shift=True,
-                       interpret=interpret, transposed=transposed)
+                       interpret=interpret, transposed=transposed,
+                       permuted=not transposed)
     if transposed:
         # Kernel already produced (k2s, k1', k1): natural order is flat.
         return M.reshape(-1)
-    # M[k1, k1', k2s] -> flat index (L2*k2s + k1')*n1 + k1 == shifted X.
-    return M.transpose(2, 1, 0).reshape(-1)
+    # M[k1, p, k2s] (permuted rows) -> natural order in ONE transpose.
+    return natural_flatten(M, permuted=True)

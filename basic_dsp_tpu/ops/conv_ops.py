@@ -333,9 +333,12 @@ def convolve_signal(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
         fl = pick_fft_len(min(m, n), cfg.fft_block_len)
         if getattr(cfg, "use_pallas_overlap_save", False) \
                 and not _PALLAS_OS_FAILED[0]:
-            from ..kernels.overlap_save_pallas import overlap_save_pallas
+            from ..kernels import overlap_save_pallas as _osp
+            fl_pl = min(max(fl, 1024), 16384)
             try:
-                return overlap_save_pallas(x, h, is_complex, max(fl, 1024))
+                if not _osp.supported(fl_pl):
+                    raise ValueError(f"unsupported fft_len {fl_pl}")
+                return _osp.overlap_save_pallas(x, h, is_complex, fl_pl)
             except Exception as e:  # Mosaic INTERNAL on some runtimes
                 _PALLAS_OS_FAILED[0] = True
                 import warnings

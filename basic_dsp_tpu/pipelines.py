@@ -155,10 +155,11 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
         M = spectrum_pallas.fourstep_mag_fused(Ar, Ai, shift=True,
                                                interpret=interpret,
                                                transposed=transposed,
-                                               budget=kern_budget)
+                                               budget=kern_budget,
+                                               permuted=not transposed)
         if transposed:
             return M.reshape(-1)
-        return M.transpose(2, 1, 0).reshape(-1)
+        return spectrum_pallas.natural_flatten(M, permuted=True)
     # Stage-1 DFT over rows, explicit plane matmuls — 3-mult (Karatsuba)
     # complex form with the left constant F: 3 MXU dots instead of 4
     # (k1 = Fr(Ar+Ai), k2 = (Fi-Fr)Ar, k3 = (Fi+Fr)Ai; B = k1-k3, k1+k2).
@@ -177,8 +178,10 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     Ci = Br * Ti + Bi * Tr
     from .kernels.spectrum_pallas import rowfft_mag
     M = rowfft_mag(Cr, Ci, shift=True, interpret=interpret,
-                   transposed=transposed, budget=kern_budget)
+                   transposed=transposed, budget=kern_budget,
+                   permuted=not transposed)
     if transposed:
         # Kernel wrote (k2s, k1', k1) directly: natural order is flat.
         return M.reshape(-1)
-    return M.transpose(2, 1, 0).reshape(-1)
+    # permuted kernel layout: the reorder folds into this one transpose.
+    return spectrum_pallas.natural_flatten(M, permuted=True)

@@ -222,3 +222,21 @@ def test_modulation_chain_planar_matches_complex_path():
         sr + 1j * si, RaisedCosineFunction(0.35), 10.0, 0.0, 10, 1.0)
     np.testing.assert_array_equal(np.asarray(re), np.real(shaped))
     np.testing.assert_array_equal(np.asarray(im), np.imag(shaped))
+
+
+@pytest.mark.parametrize("n1,n2", [(8, 32768), (16, 65536), (16, 4096)])
+def test_rowfft_mag_permuted_flatten(n1, n2):
+    """permuted=True leaves the kernel's middle axis in the DFT-m0
+    finish's native order (skipping the in-VMEM stack+swapaxes relayout);
+    natural_flatten folds the reorder into the single XLA transpose and
+    the flattened spectra must be IDENTICAL."""
+    rng = np.random.default_rng(13)
+    x = (rng.normal(size=(n1, n2)) + 1j * rng.normal(size=(n1, n2))
+         ).astype(np.complex64)
+    M = sp.rowfft_mag(jnp.asarray(x.real), jnp.asarray(x.imag),
+                      shift=True, interpret=True)
+    Mp = sp.rowfft_mag(jnp.asarray(x.real), jnp.asarray(x.imag),
+                       shift=True, interpret=True, permuted=True)
+    np.testing.assert_array_equal(
+        np.asarray(sp.natural_flatten(Mp, permuted=True)),
+        np.asarray(sp.natural_flatten(M, permuted=False)))
