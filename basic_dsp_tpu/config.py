@@ -40,9 +40,13 @@ class DspConfig:
     direct_conv_min_len: int = 1_000
     fft_block_len: int = 0
     # VMEM-resident Pallas overlap-save (kernels/overlap_save_pallas.py).
-    # OFF by default: Mosaic compilation hangs on the axon tunnel
-    # (CLAUDE.md); enable on standard TPU runtimes after re-testing.
-    use_pallas_overlap_save: bool = False
+    # None = auto: ON on TPU backends since the round-3 Mosaic-idiom
+    # rewrite (2-D Karatsuba dots, aligned concats) compiles on this
+    # runtime and beats the XLA blocked path on-chip (probe_os3.py:
+    # 0.860 vs 1.033 ms/iter at 4M/384 taps; parity 5-7e-7 across
+    # fft_len 1024..16384, probe_os3_geom.py).  Dispatch still falls
+    # back to the XLA path on any kernel compile failure (conv_ops).
+    use_pallas_overlap_save: bool = None  # None = auto (on iff TPU)
     # Pallas fused row-FFT + fftshift + |.| for the four-step spectrum
     # (kernels/spectrum_pallas.py).  ON by default on TPU backends since
     # the MXU DFT finish + 3-mult complex dots made it beat the XLA tail
@@ -54,11 +58,20 @@ class DspConfig:
     def pallas_spectrum_enabled(self) -> bool:
         if self.use_pallas_spectrum is not None:
             return self.use_pallas_spectrum
-        import jax
-        try:
-            return jax.devices()[0].platform == "tpu"
-        except Exception:  # backend init failure: stay conservative
-            return False
+        return _is_tpu_backend()
+
+    def pallas_overlap_save_enabled(self) -> bool:
+        if self.use_pallas_overlap_save is not None:
+            return self.use_pallas_overlap_save
+        return _is_tpu_backend()
+
+
+def _is_tpu_backend() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # backend init failure: stay conservative
+        return False
 
 
 _default_config = DspConfig()

@@ -331,8 +331,7 @@ def convolve_signal(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
     if (n > cfg.overlap_save_min_len and m > cfg.overlap_save_min_imp_len
             and n > cfg.overlap_save_len_ratio * m):
         fl = pick_fft_len(min(m, n), cfg.fft_block_len)
-        if getattr(cfg, "use_pallas_overlap_save", False) \
-                and not _PALLAS_OS_FAILED[0]:
+        if cfg.pallas_overlap_save_enabled() and not _PALLAS_OS_FAILED[0]:
             from ..kernels import overlap_save_pallas as _osp
             fl_pl = min(max(fl, 1024), 16384)
             try:

@@ -224,7 +224,8 @@ def main():
            "depthwise polyphase + channel-axis FFT + demod; HBM-bound")
 
     # Optional: VMEM-resident Pallas overlap-save vs the XLA blocked path
-    # (BDSP_BENCH_PALLAS=1).
+    # (BDSP_BENCH_PALLAS=1; the round-3 kernel compiles and wins on axon,
+    # probe_os3.py — this A/B re-measures both paths explicitly).
     import os
     if os.environ.get("BDSP_BENCH_PALLAS") not in (None, "", "0"):
         from basic_dsp_tpu.kernels import overlap_save_pallas as osp
