@@ -117,7 +117,11 @@ def _inner_consts(L2: int, n2: int, shift_cols: int,
     W = np.exp(-2j * np.pi * (k1 * j2) / n2).astype(np.complex64)
     m0 = min(L2, 128)
     c = L2 // m0
-    if permuted and c > 1:
+    if permuted == "wide":
+        # W in the finish's WIDE layout (m0, c*128): lanes = (c_idx, j2),
+        # sublanes = k_hi; W[k_hi*c + c_idx, j2] -> contiguous reshape.
+        W = np.ascontiguousarray(W.reshape(m0, c * LANES))
+    elif permuted and c > 1:
         # row k1' = k_hi*c + c_idx lives at p = c_idx*m0 + k_hi.
         W = np.ascontiguousarray(
             W.reshape(m0, c, LANES).transpose(1, 0, 2).reshape(L2, LANES))
@@ -134,7 +138,8 @@ def _inner_consts(L2: int, n2: int, shift_cols: int,
 
 
 def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
-                   prec=jax.lax.Precision.HIGHEST, permuted=False):
+                   prec=jax.lax.Precision.HIGHEST, permuted=False,
+                   wide_out=False):
     """Natural-order FFT of length L2 along axis -2 of (..., L2, 128)
     planar planes: mixed radix-4/2 autosort (Stockham) stages down to
     sub-transform length m0 = min(L2, 128), then ONE MXU DFT-m0 matmul
@@ -254,6 +259,10 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
     k3 = _dot_f32(fmp, cat_i, prec)
     ec_r = k1 - k3
     ec_i = k1 + k2
+    if wide_out:
+        # Hand the finish's (m0, G*128) layout straight to the caller —
+        # no re-slice, no stack (the wide lane-dot path consumes it).
+        return ec_r, ec_i, c
     outs_r = [ec_r[:, g * LANES:(g + 1) * LANES] for g in range(G)]
     outs_i = [ec_i[:, g * LANES:(g + 1) * LANES] for g in range(G)]
     er = jnp.stack(outs_r).reshape(B, c, m0, LANES)
@@ -275,7 +284,8 @@ def _stockham_axis(ar, ai, L2: int, scratch=None, fm=None,
 def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  fmr_ref, fmp_ref, fmm_ref, mag_ref, scratch, *, L2, rows,
                  transposed=False, acc_ref=None, nblocks=1,
-                 prec=jax.lax.Precision.HIGHEST, permuted=False):
+                 prec=jax.lax.Precision.HIGHEST, permuted=False,
+                 wide=False):
     """Shared kernel tail: Stockham+MXU row FFT, inner twiddle W, lane
     DFT-128 (with the fftshift column rotation folded), magnitude.
 
@@ -286,6 +296,34 @@ def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
     transpose the whole accumulator in VMEM and store it once — the
     natural-spectrum-order layout, eliminating the separate XLA
     magnitude transpose (16 MB read + 16 MB write at 4M)."""
+    if wide:
+        # Wide lane-dot path: keep the DFT-m0 finish's (m0, G*128)
+        # layout, apply W there (ww ref ships in that layout), and run
+        # the lane DFT as per-slice dots with direct (m0, 128) magnitude
+        # stores — the post-finish slice+stack relayout of both complex
+        # planes never happens.  Valid only with permuted row order.
+        m0 = min(L2, 128)
+        ec_r, ec_i, c = _stockham_axis(
+            gr, gi, L2, scratch,
+            fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]),
+            prec=prec, permuted=True, wide_out=True)
+        ww_r = jnp.concatenate([wr_ref[...]] * rows, axis=-1)
+        ww_i = jnp.concatenate([wi_ref[...]] * rows, axis=-1)
+        hr = ec_r * ww_r - ec_i * ww_i
+        hi = ec_r * ww_i + ec_i * ww_r
+        fr, fm_, fp = fr_ref[...], fm_ref[...], fp_ref[...]
+        for g in range(rows * c):
+            sl = slice(g * LANES, (g + 1) * LANES)
+            hgr, hgi = hr[:, sl], hi[:, sl]
+            k1 = _dot_f32(hgr + hgi, fr, prec)
+            k2 = _dot_f32(hgr, fm_, prec)
+            k3 = _dot_f32(hgi, fp, prec)
+            dgr = k1 - k3
+            dgi = k1 + k2
+            b, ci = g // c, g % c
+            mag_ref[b, ci * m0:(ci + 1) * m0, :] = jnp.sqrt(
+                dgr * dgr + dgi * dgi)
+        return
     gr, gi = _stockham_axis(gr, gi, L2, scratch,
                             fm=(fmr_ref[...], fmp_ref[...], fmm_ref[...]),
                             prec=prec, permuted=permuted)
@@ -318,7 +356,8 @@ def _rowfft_tail(gr, gi, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
 def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                    fmr_ref, fmp_ref, fmm_ref, mag_ref, sra, sia, srb, sib,
                    *acc, L2, rows, nblocks=1, tw_refs=(), transposed=False,
-                   prec=jax.lax.Precision.HIGHEST, permuted=False):
+                   prec=jax.lax.Precision.HIGHEST, permuted=False,
+                   wide=False):
     gr = br_ref[...].reshape(rows, L2, LANES)
     gi = bi_ref[...].reshape(rows, L2, LANES)
     if tw_refs:
@@ -337,7 +376,7 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                  ((sra, sia), (srb, sib)), L2=L2, rows=rows,
                  transposed=transposed,
                  acc_ref=acc[0] if acc else None, nblocks=nblocks,
-                 prec=prec, permuted=permuted)
+                 prec=prec, permuted=permuted, wide=wide)
 
 
 def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
@@ -412,13 +451,14 @@ def _fused_kernel(ar_hbm, ai_hbm, tr_ref, ti_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("shift", "interpret", "transposed",
-                                    "budget", "permuted"))
+                                    "budget", "permuted", "wide"))
 def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                interpret: bool = False, Tr: jnp.ndarray = None,
                Ti: jnp.ndarray = None,
                transposed: bool = False,
                budget: str = None,
-               permuted: bool = False) -> jnp.ndarray:
+               permuted: bool = False,
+               wide: bool = False) -> jnp.ndarray:
     """|FFT(rows)| (optionally global-fftshift-folded) of planar rows.
 
     Br, Bi: (n1, n2) f32 planes of the post-stage-1 four-step data —
@@ -452,9 +492,13 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     shift_cols = 64 if shift else 0
     assert not (permuted and transposed), \
         "permuted layout requires the XLA-side output transpose"
+    if wide:
+        assert permuted and not transposed, \
+            "wide lane dots imply the permuted output layout"
     Wr, Wi, Fr, Fm, Fp = (jnp.asarray(p)
-                          for p in _inner_consts(L2, n2, shift_cols,
-                                                 permuted))
+                          for p in _inner_consts(
+                              L2, n2, shift_cols,
+                              "wide" if wide else permuted))
     m0 = min(L2, 128)
     Fmr, Fmp, Fmm = (jnp.asarray(p) for p in _dft_planes(m0))
     rows = min(ROWS_PER_BLOCK, n1)
@@ -462,7 +506,8 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     grid = (n1 // rows,)
     row_spec = pl.BlockSpec((rows, n2), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((L2, LANES), lambda i: (0, 0),
+    w_shape = (m0, (L2 // m0) * LANES) if wide else (L2, LANES)
+    w_spec = pl.BlockSpec(w_shape, lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
     f_spec = pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
@@ -492,7 +537,8 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                            memory_space=pltpu.VMEM)
     base = functools.partial(_rowfft_kernel, L2=L2, rows=rows,
                              nblocks=n1 // rows, transposed=transposed,
-                             prec=_as_prec(budget), permuted=permuted)
+                             prec=_as_prec(budget), permuted=permuted,
+                             wide=wide)
     if fold_tw:
         def kernel(br, bi, tr, ti, wr, wi, fr, fm, fp, fmr, fmp, fmm,
                    mag, *scr):

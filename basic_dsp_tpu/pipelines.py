@@ -96,12 +96,13 @@ def modulation_chain_planar(sr: jnp.ndarray, si: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "interpret", "fused",
-                                              "transposed", "budget"))
+                                              "transposed", "budget",
+                                              "wide"))
 def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
                          taps: jnp.ndarray, window: jnp.ndarray,
                          n1: int = 0, interpret: bool = False,
                          fused: bool = False, transposed: bool = False,
-                         budget: str = None):
+                         budget: str = None, wide: bool = False):
     """All-planar flagship chain: centered real-tap FIR + window + shifted
     FFT magnitude, with complex data carried as (re, im) f32 planes from
     entry to exit — interleaved complex64 is never materialized.
@@ -179,7 +180,7 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     from .kernels.spectrum_pallas import rowfft_mag
     M = rowfft_mag(Cr, Ci, shift=True, interpret=interpret,
                    transposed=transposed, budget=kern_budget,
-                   permuted=not transposed)
+                   permuted=not transposed, wide=wide)
     if transposed:
         # Kernel wrote (k2s, k1', k1) directly: natural order is flat.
         return M.reshape(-1)

@@ -107,7 +107,9 @@ REPS = 5
 #                       Mosaic's lane<->major VMEM transpose costs ~5x
 #                       the XLA HBM transpose it removes. Gated off.
 #   BENCH_FUSED=1       fully-fused stage-1 megakernel (probe_fused_db:
-#                       0.813 vs 0.616 — DMA chain still loses; off).
+#                       0.813 vs 0.616 — DMA chain still loses; off.
+#                       Re-A/B'd under the permuted layout 2026-08-19:
+#                       0.871 vs 0.592 — still loses; stays off).
 CARRY = os.environ.get("BENCH_CARRY", "array")
 TRANSPOSED = os.environ.get("BENCH_TRANSPOSED", "") == "1"
 FUSED = os.environ.get("BENCH_FUSED", "") == "1"
@@ -115,6 +117,11 @@ FUSED = os.environ.get("BENCH_FUSED", "") == "1"
 # probe_budget.log) instead of the 6-pass f32-exact default; the FLOP
 # floor below tracks the mode so vs_baseline stays honest either way.
 BUDGET = os.environ.get("BENCH_BUDGET", "") or None
+# BENCH_WIDE=1: per-slice lane dots in the finish's wide layout (no
+# post-finish stack relayout).  A/B'd on-chip 2026-08-19: 0.596 vs 0.592
+# ms/iter — the 32 per-slice (128,128) dots cost what the stack relayout
+# saved.  Gated off; the permuted layout already took the big win.
+WIDE = os.environ.get("BENCH_WIDE", "") == "1"
 
 
 def _device_reachable(timeout_s: int = 120) -> bool:
@@ -174,7 +181,7 @@ def main():
                 mag = pipelines.fir_fft_chain_planar.__wrapped__(
                     x_re * (1.0 + fb * 1e-30), x_im, taps_re, window,
                     n1=64, fused=FUSED, transposed=TRANSPOSED,
-                    budget=BUDGET)
+                    budget=BUDGET, wide=WIDE)
                 # scalar carry: the previous spectrum's first sample keeps
                 # every upstream stage live (each DFT output depends on
                 # every input); array carry folds EVERY output element

@@ -240,3 +240,18 @@ def test_rowfft_mag_permuted_flatten(n1, n2):
     np.testing.assert_array_equal(
         np.asarray(sp.natural_flatten(Mp, permuted=True)),
         np.asarray(sp.natural_flatten(M, permuted=False)))
+
+
+@pytest.mark.parametrize("n1,n2", [(8, 32768), (16, 4096)])
+def test_rowfft_mag_wide_matches_permuted(n1, n2):
+    """wide=True (per-slice lane dots, no post-finish stack) must equal
+    the permuted layout exactly."""
+    rng = np.random.default_rng(17)
+    x = (rng.normal(size=(n1, n2)) + 1j * rng.normal(size=(n1, n2))
+         ).astype(np.complex64)
+    M = sp.rowfft_mag(jnp.asarray(x.real), jnp.asarray(x.imag),
+                      shift=True, interpret=True, permuted=True)
+    Mw = sp.rowfft_mag(jnp.asarray(x.real), jnp.asarray(x.imag),
+                       shift=True, interpret=True, permuted=True,
+                       wide=True)
+    np.testing.assert_array_equal(np.asarray(Mw), np.asarray(M))
