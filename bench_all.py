@@ -166,7 +166,10 @@ def main():
            "complex Toeplitz MXU, 2 band shifts, 128 taps")
 
     # ---- Config 3: fractional resampling x1.5 of 1M audio samples
-    # (slow_down_music), complex stereo-as-IQ. ----
+    # (slow_down_music), complex stereo-as-IQ, PLANAR. ----
+    # The Sinc taps are real, so the stereo planes resample independently
+    # (same rule as config #4: the interleaved complex build/split is
+    # pure relayout cost on TPU); BOTH planes are computed and consumed.
     # Composed direct resampler P=3/Q=2: windows (nb, W=384) @ M (384,
     # 384) per plane; out 1.5M samples x 2 planes x 2*384 = 2.30 GFLOP.
     # Bytes: in r8 + carry 4 + ext w8 r8 + out w8 (out-scale) ~ 36 MB.
@@ -175,8 +178,10 @@ def main():
     a_im = jnp.asarray(rng.normal(size=n3).astype(np.float32))
 
     def cfg3(xr, xi, carry):
-        x = (xr + carry) + 1j * xi
-        return interp_ops.interpolatef(x, SincFunction(), 1.5, 0.0, 10, 1.0)
+        f = SincFunction()
+        re = interp_ops.interpolatef(xr + carry, f, 1.5, 0.0, 10, 1.0)
+        im = interp_ops.interpolatef(xi, f, 1.5, 0.0, 10, 1.0)
+        return jnp.concatenate([re, im])
 
     dt = timed(cfg3, a_re, a_im, iters=20)
     record("interpolatef_1_5x_1m", n3, dt,
