@@ -63,6 +63,71 @@ def _merged_tap_rows(prototype: jnp.ndarray, C: int) -> jnp.ndarray:
         return jnp.concatenate([top, rest, bottom], axis=0)
 
 
+@functools.lru_cache(maxsize=4)
+def _idft_consts(C: int):
+    """Karatsuba planes for the factored unscaled inverse channel DFT
+    C = n1*128: inner IDFT-n1 (LEFT const), twiddle, outer IDFT-128
+    (RIGHT const).  All numpy (jnp constants are staged otherwise)."""
+    n1 = C // 128
+    c1 = np.arange(n1)
+    j1 = np.arange(n1)
+    W = np.exp(2j * np.pi * np.outer(c1, j1) / n1).astype(np.complex64)
+    T = np.exp(2j * np.pi * np.outer(c1, np.arange(128)) / C
+               ).astype(np.complex64)
+    F = np.exp(2j * np.pi * np.outer(np.arange(128), np.arange(128)) / 128
+               ).astype(np.complex64)
+    wl = (np.ascontiguousarray(W.real),
+          np.ascontiguousarray(W.imag + W.real),
+          np.ascontiguousarray(W.imag - W.real))
+    fr = (np.ascontiguousarray(F.real),
+          np.ascontiguousarray(F.imag - F.real),
+          np.ascontiguousarray(F.real + F.imag))
+    return wl, (np.ascontiguousarray(T.real),
+                np.ascontiguousarray(T.imag)), fr
+
+
+def _idft_rows_planar(ur, ui, C: int):
+    """Unscaled inverse DFT over the minor (channel) axis as MXU work:
+    ``y[s, c1 + n1*c2]`` returned as planar (S, n1, 128) planes indexed
+    ``[s, c1, c2]`` — the caller folds the (c1, c2) interleave into its
+    existing output transpose.
+
+    Replaces ``C * jnp.fft.ifft(u, axis=1)``, the config-#5 pipeline's
+    dominant stage (profile_chan2.log: 0.368 ms of the 0.715 ms chain at
+    4M/1024ch): inner IDFT-n1 is a tiny left-constant einsum, the outer
+    IDFT-128 is a full-tile (S*n1, 128)@(128, 128) 3-dot Karatsuba
+    matmul.  Exact vs the XLA path (golden test)."""
+    n1 = C // 128
+    S = ur.shape[0]
+    prec = config.matmul_precision()
+    wl, (tr_np, ti_np), fr = _idft_consts(C)
+    vr = ur.reshape(S, n1, 128)
+    vi = ui.reshape(S, n1, 128)
+    Wr, Wp, Wm = (jnp.asarray(p) for p in wl)
+    k1 = jnp.einsum("ab,sbl->sal", Wr, vr + vi, precision=prec)
+    k2 = jnp.einsum("ab,sbl->sal", Wm, vr, precision=prec)
+    k3 = jnp.einsum("ab,sbl->sal", Wp, vi, precision=prec)
+    br = k1 - k3
+    bi = k1 + k2
+    Tr = jnp.asarray(tr_np)[None, :, :]
+    Ti = jnp.asarray(ti_np)[None, :, :]
+    cr = br * Tr - bi * Ti
+    ci = br * Ti + bi * Tr
+    Fr, Fm, Fp = (jnp.asarray(p) for p in fr)
+    cr2 = cr.reshape(S * n1, 128)
+    ci2 = ci.reshape(S * n1, 128)
+    k1 = jnp.matmul(cr2 + ci2, Fr, precision=prec)
+    k2 = jnp.matmul(cr2, Fm, precision=prec)
+    k3 = jnp.matmul(ci2, Fp, precision=prec)
+    yr = (k1 - k3).reshape(S, n1, 128)
+    yi = (k1 + k2).reshape(S, n1, 128)
+    return yr, yi
+
+
+def _idft_eligible(C: int) -> bool:
+    return C % 128 == 0 and 2 <= C // 128 <= 16
+
+
 def _channelize_rows(ext: jnp.ndarray, taps_merged: jnp.ndarray,
                      s_out: int) -> jnp.ndarray:
     """Filterbank core in (rows, C) layout.
@@ -154,7 +219,36 @@ def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
     Runs entirely in (samples, channels) row layout — the FM demod's
     one-sample lookback is a row shift there — so the only transpose in
     the pipeline lands on the f32 angles (half the bytes of transposing
-    the complex baseband)."""
+    the complex baseband).
+
+    When ``C = n1*128`` the channel IDFT runs as MXU matmuls on planar
+    planes (:func:`_idft_rows_planar`) instead of the XLA batched ifft
+    (the pipeline's dominant stage, 0.368 of 0.715 ms at 4M/1024ch —
+    profile_chan2.log), the demod runs on the planes, and the factored
+    (c1, c2) interleave folds into this existing final transpose."""
+    C = n_channels
+    if _idft_eligible(C):
+        taps_merged = _merged_tap_rows(prototype, C)
+        t = taps_merged.shape[0] - 1
+        X = x.reshape(-1, C)
+        S = X.shape[0]
+        ext = jnp.concatenate([jnp.zeros((t, C), X.dtype), X], axis=0)
+        tp1 = taps_merged.shape[0]
+        rhs = jnp.flip(taps_merged, axis=0).reshape(tp1, 1, C)
+        lhs = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs.astype(lhs.dtype), window_strides=(1,),
+            padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=C, precision="highest")
+        yr, yi = _idft_rows_planar(out[0, :S], out[1, :S], C)
+        # FM demod on planes: z = y * conj(prev), one-row lookback.
+        pr = jnp.concatenate([yr[:1], yr[:-1]], axis=0)
+        pi = jnp.concatenate([yi[:1], yi[:-1]], axis=0)
+        zr = yr * pr + yi * pi
+        zi = yi * pr - yr * pi
+        ang = jnp.arctan2(zi, zr)                 # (S, c1, c2)
+        # channel c = c1 + n1*c2 == flat (c2, c1): ONE f32 transpose.
+        return ang.transpose(2, 1, 0).reshape(C, S)
     y = _channelize_rows_padded(x, prototype, n_channels)   # (S, C)
     prev = jnp.concatenate([y[:1], y[:-1]], axis=0)
     return jnp.angle(y * jnp.conj(prev)).T

@@ -263,3 +263,42 @@ def test_streaming_fir_with_sharded_chunks(mesh):
     expected = np.convolve(x, taps)[: n]
     scale = float(np.abs(expected).max())
     assert_vector_eq(got, expected, tol=1e-4 * max(scale, 1.0))
+
+
+@pytest.mark.parametrize("C", [256, 1024])
+def test_channelize_mxu_idft_matches_fft_path(C):
+    """For C = n1*128 channelize_and_demod takes the MXU factored-IDFT
+    planar path (profile_chan2: the XLA batched ifft was the dominant
+    stage); it must match the generic jnp.fft.ifft formulation."""
+    from basic_dsp_tpu.parallel import channelizer as ch
+
+    rng = np.random.default_rng(31)
+    n = C * 32
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    proto = jnp.asarray((np.hamming(C * 4) / C).astype(np.float32))
+    assert ch._idft_eligible(C)
+    got = np.asarray(ch.channelize_and_demod(jnp.asarray(x), proto, C))
+    # reference formulation: generic row path + angle + transpose
+    y = ch._channelize_rows_padded(jnp.asarray(x), proto, C)
+    prev = jnp.concatenate([y[:1], y[:-1]], axis=0)
+    want = np.asarray(jnp.angle(y * jnp.conj(prev)).T)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_idft_rows_planar_matches_ifft():
+    """_idft_rows_planar == C * ifft along the minor axis, re-interleaved."""
+    from basic_dsp_tpu.parallel import channelizer as ch
+
+    rng = np.random.default_rng(32)
+    S, C = 64, 512
+    n1 = C // 128
+    u = (rng.normal(size=(S, C)) + 1j * rng.normal(size=(S, C))
+         ).astype(np.complex64)
+    yr, yi = ch._idft_rows_planar(jnp.asarray(u.real), jnp.asarray(u.imag),
+                                  C)
+    got = (np.asarray(yr) + 1j * np.asarray(yi))  # [s, c1, c2]
+    want = C * np.fft.ifft(u, axis=1).astype(np.complex64)
+    # y[s, c1 + n1*c2] == got[s, c1, c2]
+    want3 = want.reshape(S, 128, n1).transpose(0, 2, 1)  # [s, c1, c2]
+    np.testing.assert_allclose(got, want3, rtol=0, atol=2e-3 * np.abs(
+        want).max() / 100)
