@@ -166,6 +166,15 @@ def _channelize_rows(ext: jnp.ndarray, taps_merged: jnp.ndarray,
         window_strides=(1,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=C, precision="highest")
+    if _idft_eligible(C):
+        # Factored MXU IDFT (see _idft_rows_planar); re-interleave the
+        # (c1, c2) layout here since this generic core's contract is a
+        # flat (s, C) channel row.  channelize_and_demod skips this
+        # interleave by folding it into its final output transpose.
+        yr, yi = _idft_rows_planar(out[0, :s_out], out[1, :s_out], C)
+        yr = yr.transpose(0, 2, 1).reshape(-1, C)
+        yi = yi.transpose(0, 2, 1).reshape(-1, C)
+        return jax.lax.complex(yr, yi)
     u = jax.lax.complex(out[0, :s_out], out[1, :s_out])
     # Channel mixing on the MINOR axis (the fast FFT layout on TPU).
     return C * jnp.fft.ifft(u, axis=1)

@@ -278,10 +278,20 @@ def test_channelize_mxu_idft_matches_fft_path(C):
     proto = jnp.asarray((np.hamming(C * 4) / C).astype(np.float32))
     assert ch._idft_eligible(C)
     got = np.asarray(ch.channelize_and_demod(jnp.asarray(x), proto, C))
-    # reference formulation: generic row path + angle + transpose
-    y = ch._channelize_rows_padded(jnp.asarray(x), proto, C)
-    prev = jnp.concatenate([y[:1], y[:-1]], axis=0)
-    want = np.asarray(jnp.angle(y * jnp.conj(prev)).T)
+    # reference formulation: FIR rows + NUMPY ifft channel mixing
+    # (an independent oracle — _channelize_rows itself now routes
+    # through the MXU IDFT when eligible)
+    taps = np.asarray(jax.device_get(ch._merged_tap_rows(proto, C)))
+    t = taps.shape[0] - 1
+    X = x.reshape(-1, C)
+    S = X.shape[0]
+    ext = np.concatenate([np.zeros((t, C), X.dtype), X], axis=0)
+    u = np.zeros((S, C), np.complex64)
+    for p_ in range(t + 1):
+        u += taps[p_] * ext[t - p_: t - p_ + S]
+    y = (C * np.fft.ifft(u, axis=1)).astype(np.complex64)
+    prev = np.concatenate([y[:1], y[:-1]], axis=0)
+    want = np.angle(y * np.conj(prev)).T
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
