@@ -685,24 +685,37 @@ def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
 
     n = xw.shape[-1]
     n1, n2 = fourstep.factor(n, n1)
-    Fr, Fi, Tr, Ti = fourstep._dif_planes(n1, n2)
-    F = jax.lax.complex(jnp.asarray(Fr), jnp.asarray(Fi))
-    A = xw.reshape((n1, n2))
-    B = jnp.matmul(F, A.astype(jnp.complex64),
-                   precision=config.matmul_precision())
+    Frn, Fin, Trn, Tin = fourstep._dif_planes(n1, n2)
+    prec = config.matmul_precision()
+    # PLANAR Karatsuba stage-1 (3 real dots, not XLA's complex-dot
+    # lowering); jnp.real/imag are traced (no eager complex on axon),
+    # and a REAL input's zero imag plane lowers to broadcast(0) whose
+    # dots XLA's algebraic simplifier removes — the real-signal spectrum
+    # (config #1) pays 1 stage-1 matmul instead of 4.
+    xc = xw.astype(jnp.complex64) if not jnp.iscomplexobj(xw) else xw
+    Ar = jnp.real(xc).reshape(n1, n2)
+    Ai = jnp.imag(xc).reshape(n1, n2)
+    Fr = jnp.asarray(Frn)
+    Fm = jnp.asarray(Fin - Frn)
+    Fp = jnp.asarray(Fin + Frn)
+    k1 = jnp.matmul(Fr, Ar + Ai, precision=prec)
+    k2 = jnp.matmul(Fm, Ar, precision=prec)
+    k3 = jnp.matmul(Fp, Ai, precision=prec)
+    Br, Bi = k1 - k3, k1 + k2
     if fold_twiddle:
         # Kernel applies T from streamed block inputs.  Measured at 4M:
         # slightly SLOWER (0.904 vs 0.874 ms chain) than letting XLA fuse
         # the multiply into the stage-1 matmul epilogue — kept for
         # runtimes with different fusion behavior.
-        M = rowfft_mag(jnp.real(B), jnp.imag(B), shift=True,
+        M = rowfft_mag(Br, Bi, shift=True,
                        interpret=interpret,
-                       Tr=jnp.asarray(Tr), Ti=jnp.asarray(Ti),
+                       Tr=jnp.asarray(Trn), Ti=jnp.asarray(Tin),
                        transposed=transposed, permuted=not transposed)
     else:
-        T = jax.lax.complex(jnp.asarray(Tr), jnp.asarray(Ti))
-        C = B * T
-        M = rowfft_mag(jnp.real(C), jnp.imag(C), shift=True,
+        Tr, Ti = jnp.asarray(Trn), jnp.asarray(Tin)
+        Cr = Br * Tr - Bi * Ti
+        Ci = Br * Ti + Bi * Tr
+        M = rowfft_mag(Cr, Ci, shift=True,
                        interpret=interpret, transposed=transposed,
                        permuted=not transposed)
     if transposed:

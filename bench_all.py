@@ -127,12 +127,14 @@ def main():
         })
 
     # ---- Config 1: 1M real sine -> windowed FFT magnitude. ----
-    # Path: complex cast + four-step (n1=128) with complex XLA stage-1 and
-    # the Pallas row-FFT tail.  Bytes/sample: carry 4 + x 4 + window 4
-    # (fused into stage-1 read) + B w8 (fused: stage-1 writes C directly)
-    # + T r8 + C w8 r8 + mag w4 r4 + transpose w4 = 56 B.  FLOPs/sample
-    # (Karatsuba 3-dot complex stage-1 at n1=128: 3*2*128; kernel sublane
-    # DFT-64 3*2*64 + lane DFT-128 3*2*128): 1920 F/sample.
+    # Path: planar four-step (n1=128, Karatsuba stage-1) + Pallas row-FFT
+    # tail; the REAL input's zero imag plane prunes stage-1 to ONE dot
+    # (2*128 F/sample) + kernel sublane DFT-64 (3*2*64) + lane DFT-128
+    # (3*2*128) = 1408 F/sample -> 0.048 ms, below the 0.068 ms byte
+    # floor (56 B/sample: carry 4 + x 4 + window 4 fused into stage-1's
+    # read + T r8 + C w8 r8 + mag w4 r4 + transpose w4) -> HBM-bound.
+    # The 1920 figure is kept as the flops input so the floor stays
+    # max(bytes, flops) = bytes either way.
     n1 = 1 << 20
     sine = jnp.asarray(np.sin(2 * np.pi * 0.01 * np.arange(n1))
                        .astype(np.float32))
