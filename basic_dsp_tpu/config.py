@@ -47,6 +47,10 @@ class DspConfig:
     # fft_len 1024..16384, probe_os3_geom.py).  Dispatch still falls
     # back to the XLA path on any kernel compile failure (conv_ops).
     use_pallas_overlap_save: bool = None  # None = auto (on iff TPU)
+    # Factored MXU channel IDFT in the channelizer (parallel/channelizer
+    # ._idft_rows_planar): beats the XLA batched ifft on TPU (0.72 ->
+    # 0.52-0.64 ms at 4M/1024ch) but loses on CPU meshes.
+    use_mxu_channel_dft: bool = None  # None = auto (on iff TPU)
     # Pallas fused row-FFT + fftshift + |.| for the four-step spectrum
     # (kernels/spectrum_pallas.py).  ON by default on TPU backends since
     # the MXU DFT finish + 3-mult complex dots made it beat the XLA tail

@@ -125,7 +125,17 @@ def _idft_rows_planar(ur, ui, C: int):
 
 
 def _idft_eligible(C: int) -> bool:
-    return C % 128 == 0 and 2 <= C // 128 <= 16
+    """Gate for the factored MXU channel IDFT: geometry + backend.  A
+    TPU-specific trade (matmuls for the batched ifft) — on the CPU mesh
+    it measured ~1.5x SLOWER (SCALING sweep), so it follows the same
+    auto-iff-TPU rule as the Pallas kernels (config.DspConfig)."""
+    if not (C % 128 == 0 and 2 <= C // 128 <= 16):
+        return False
+    flag = getattr(config.default_config(), "use_mxu_channel_dft", None)
+    if flag is not None:
+        return bool(flag)
+    from ..config import _is_tpu_backend
+    return _is_tpu_backend()
 
 
 def _channelize_rows(ext: jnp.ndarray, taps_merged: jnp.ndarray,

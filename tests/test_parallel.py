@@ -276,6 +276,12 @@ def test_channelize_mxu_idft_matches_fft_path(C):
     n = C * 32
     x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
     proto = jnp.asarray((np.hamming(C * 4) / C).astype(np.float32))
+    # force the MXU path on the CPU test backend (auto-gate is iff-TPU)
+    import dataclasses
+    from basic_dsp_tpu import config as _cfg
+    saved = _cfg.default_config()
+    _cfg.set_default_config(dataclasses.replace(
+        saved, use_mxu_channel_dft=True))
     assert ch._idft_eligible(C)
     got = np.asarray(ch.channelize_and_demod(jnp.asarray(x), proto, C))
     # reference formulation: FIR rows + NUMPY ifft channel mixing
@@ -292,6 +298,7 @@ def test_channelize_mxu_idft_matches_fft_path(C):
     y = (C * np.fft.ifft(u, axis=1)).astype(np.complex64)
     prev = np.concatenate([y[:1], y[:-1]], axis=0)
     want = np.angle(y * np.conj(prev)).T
+    _cfg.set_default_config(saved)
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
