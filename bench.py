@@ -76,6 +76,16 @@ floor binds again.
 Both floors and which one binds are printed to stderr; vs_baseline =
 floor / measured.
 
+Model caveat (measured 2026-08-19): CONSTANT-weight matmuls at "highest"
+exceed the square-matmul peak — XLA precomputes the constant operand's
+hi/lo bf16 split, so e.g. config #4's (131072,128)@(128,1280) const-RHS
+dot nets ~67 TFLOPS (probe_mxu_constw.log after subtracting the carry
+fold's byte floor).  The chain's FIR/stage-1 constants get the same
+treatment, so the 30.8-TFLOPS compute floor is conservative for those
+stages (the Pallas kernel's dots, which dominate the FLOPs, run in
+Mosaic without the presplit); the 0.313 ms byte floor bounds the model
+from below either way.
+
 Backend notes: complex arrays crossing the host<->device boundary are not
 supported on the axon TPU tunnel, so the signal enters as a real (re, im)
 pair and becomes complex inside jit.

@@ -21,7 +21,6 @@ def main():
     x_re = jnp.asarray(rng.normal(size=n).astype(np.float32))
     x_im = jnp.asarray(rng.normal(size=n).astype(np.float32))
     proto = jnp.asarray((np.hamming(C * 8) / C).astype(np.float32))
-    taps_merged_np = None
 
     def stage(xr, xi, carry, upto):
         x = (xr + carry) + 1j * xi
