@@ -255,3 +255,22 @@ def test_rowfft_mag_wide_matches_permuted(n1, n2):
                        shift=True, interpret=True, permuted=True,
                        wide=True)
     np.testing.assert_array_equal(np.asarray(Mw), np.asarray(M))
+
+
+def test_fused_chain_budget_accuracy():
+    """budget threads through the FUSED megakernel path too (stage-1 in
+    kernel): 3-pass error bound holds in interpret mode."""
+    n, m = 1 << 16, 64
+    rng = np.random.default_rng(19)
+    xr = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    taps = rng.normal(size=m).astype(np.float32)
+    taps /= np.abs(taps).sum()
+    window = jnp.asarray(np.hamming(n).astype(np.float32))
+    ref = np.asarray(pipelines.fir_fft_chain_planar(
+        xr, xi, jnp.asarray(taps), window, interpret=True, fused=True))
+    got = np.asarray(pipelines.fir_fft_chain_planar(
+        xr, xi, jnp.asarray(taps), window, interpret=True, fused=True,
+        budget="high"))
+    rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert rel < 5e-5, rel
