@@ -121,6 +121,57 @@ def _twiddle_for(n: int, n1: int, n2: int, mesh: Mesh, axis_name: str,
     return tw
 
 
+def _local_fourstep(xl, twl, n1, n2, d, axis_name, natural_order):
+    """Per-device body of the distributed four-step FFT (runs inside
+    shard_map; comm-volume model in the module docstring).
+
+    xl: this device's contiguous (n/d,) time block == rows
+    [i*n1/d, (i+1)*n1/d) of the row-major (n1, n2) matrix."""
+    A = xl.reshape(n1 // d, n2)
+    # (1) time blocks -> column shards: (n1, n2/d) local after.
+    A = jax.lax.all_to_all(A, axis_name, split_axis=1, concat_axis=0,
+                           tiled=True)
+    # Stage 1: length-n1 FFTs, one per local column, along the
+    # contiguous axis: B[j2_local, k1].
+    B = jnp.fft.fft(A.T)
+    B = B * twl  # twl[j2_local, k1], precomputed
+    # (2) column -> row shards: split k1, gather j2 -> (n2, n1/d).
+    B = jax.lax.all_to_all(B, axis_name, split_axis=1, concat_axis=0,
+                           tiled=True)
+    # Stage 2: length-n2 FFTs along the contiguous axis after a
+    # local transpose: C[k1_local, k2].
+    C = jnp.fft.fft(B.T)
+    if not natural_order:
+        return C
+    # (3) row shards -> output blocks: device i ends with all k1 and
+    # k2 in [i*n2/d, (i+1)*n2/d); transpose+flatten is then exactly
+    # the contiguous output block [i*n/d, (i+1)*n/d) of the
+    # natural-order spectrum X[k2*n1 + k1].
+    C = jax.lax.all_to_all(C, axis_name, split_axis=1, concat_axis=0,
+                           tiled=True)
+    return C.T.reshape(-1)
+
+
+def _twiddle_planes_for(n: int, n1: int, n2: int, mesh: Mesh,
+                        axis_name: str, rdtype_name: str):
+    """Planar (cos, sin) twiddle planes, host-built and device_put
+    sharded — the complex-free analog of :func:`_twiddle_for`."""
+    import numpy as np
+    key = ("planes", n, n1, n2, axis_name,
+           tuple(d.id for d in mesh.devices.flat), rdtype_name)
+    tw = _TWIDDLE_CACHE.get(key)
+    if tw is None:
+        k1 = np.arange(n1)[None, :]
+        j2 = np.arange(n2)[:, None]
+        ang = (-2.0 * np.pi / n) * ((k1 * j2) % n)
+        rdtype = np.dtype(rdtype_name)
+        sharding = jax.sharding.NamedSharding(mesh, P(axis_name, None))
+        tw = (jax.device_put(np.cos(ang).astype(rdtype), sharding),
+              jax.device_put(np.sin(ang).astype(rdtype), sharding))
+        _TWIDDLE_CACHE[key] = tw
+    return tw
+
+
 def sharded_fft(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp",
                 natural_order: bool = True) -> jnp.ndarray:
     """Distributed unscaled DFT of a time-sharded signal (explicit
@@ -152,31 +203,8 @@ def sharded_fft(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp",
         return cached(x, tw)
 
     def local(xl, twl):
-        # xl: this device's contiguous (n/d,) time block == rows
-        # [i*n1/d, (i+1)*n1/d) of the row-major (n1, n2) matrix.
-        A = xl.reshape(n1 // d, n2)
-        # (1) time blocks -> column shards: (n1, n2/d) local after.
-        A = jax.lax.all_to_all(A, axis_name, split_axis=1, concat_axis=0,
-                               tiled=True)
-        # Stage 1: length-n1 FFTs, one per local column, along the
-        # contiguous axis: B[j2_local, k1].
-        B = jnp.fft.fft(A.T)
-        B = B * twl  # twl[j2_local, k1], precomputed
-        # (2) column -> row shards: split k1, gather j2 -> (n2, n1/d).
-        B = jax.lax.all_to_all(B, axis_name, split_axis=1, concat_axis=0,
-                               tiled=True)
-        # Stage 2: length-n2 FFTs along the contiguous axis after a
-        # local transpose: C[k1_local, k2].
-        C = jnp.fft.fft(B.T)
-        if not natural_order:
-            return C
-        # (3) row shards -> output blocks: device i ends with all k1 and
-        # k2 in [i*n2/d, (i+1)*n2/d); transpose+flatten is then exactly
-        # the contiguous output block [i*n/d, (i+1)*n/d) of the
-        # natural-order spectrum X[k2*n1 + k1].
-        C = jax.lax.all_to_all(C, axis_name, split_axis=1, concat_axis=0,
-                               tiled=True)
-        return C.T.reshape(-1)
+        return _local_fourstep(xl, twl, n1, n2, d, axis_name,
+                               natural_order)
 
     out_spec = P(axis_name) if natural_order else P(axis_name, None)
     in_specs = (P(axis_name), P(axis_name, None))
@@ -189,3 +217,50 @@ def sharded_fft(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp",
     fn = jax.jit(fn)
     _FN_CACHE[fkey] = fn
     return fn(x, tw)
+
+
+def sharded_fft_planar(xr: jnp.ndarray, xi: jnp.ndarray, mesh: Mesh,
+                       axis_name: str = "dsp",
+                       natural_order: bool = True):
+    """:func:`sharded_fft` with a PLANAR (re, im) program boundary.
+
+    Complex arrays as jit program inputs/outputs are intermittent on the
+    axon TPU runtime (CLAUDE.md; the library-wide planar funnel exists
+    for the same reason) — this entry ships the time-sharded signal and
+    the spectrum as f32/f64 plane pairs, building the complex view only
+    inside the traced shard_map.  Same collectives, comm model and
+    divisibility contract as :func:`sharded_fft`.
+    """
+    n = xr.shape[-1]
+    d = mesh.devices.size
+    n1, n2 = _factors_for_mesh(n, d)
+    cdtype = jnp.complex128 if xr.dtype == jnp.float64 else jnp.complex64
+    # Ship the twiddle as PLANES too: device_put of a complex host array
+    # is itself a boundary crossing on hostile backends.
+    twr, twi = _twiddle_planes_for(n, n1, n2, mesh, axis_name,
+                                   jnp.dtype(xr.dtype).name)
+
+    fkey = ("planar", n, n1, n2, axis_name, natural_order,
+            tuple(dev.id for dev in mesh.devices.flat),
+            jnp.dtype(xr.dtype).name)
+    fn = _FN_CACHE.get(fkey)
+    if fn is None:
+        def local(xlr, xli, twlr, twli):
+            out = _local_fourstep(
+                (xlr + 1j * xli).astype(cdtype),
+                (twlr + 1j * twli).astype(cdtype),
+                n1, n2, d, axis_name, natural_order)
+            return jnp.real(out), jnp.imag(out)
+
+        out_sp = P(axis_name) if natural_order else P(axis_name, None)
+        in_specs = (P(axis_name), P(axis_name),
+                    P(axis_name, None), P(axis_name, None))
+        try:
+            fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=(out_sp, out_sp), check_vma=False)
+        except TypeError:  # pragma: no cover - jax < 0.7 spelling
+            fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=(out_sp, out_sp), check_rep=False)
+        fn = jax.jit(fn)
+        _FN_CACHE[fkey] = fn
+    return fn(xr, xi, twr, twi)

@@ -319,3 +319,22 @@ def test_idft_rows_planar_matches_ifft():
     want3 = want.reshape(S, 128, n1).transpose(0, 2, 1)  # [s, c1, c2]
     np.testing.assert_allclose(got, want3, rtol=0, atol=2e-3 * np.abs(
         want).max() / 100)
+
+
+def test_sharded_fft_planar_matches_complex(mesh):
+    """sharded_fft_planar (planar (re, im) program boundary — required on
+    backends where complex jit I/O is unreliable) == sharded_fft."""
+    from basic_dsp_tpu.parallel import sharded_fft as sf
+
+    n = 1 << 14
+    x = create_complex_data(n, n)
+    xs = shard_time_axis(jnp.asarray(x), mesh)
+    want = np.asarray(sf.sharded_fft(xs, mesh))
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("dsp"))
+    xr = jax.device_put(jnp.asarray(x.real.astype(np.float32)), sharding)
+    xi = jax.device_put(jnp.asarray(x.imag.astype(np.float32)), sharding)
+    gr, gi = sf.sharded_fft_planar(xr, xi, mesh)
+    got = np.asarray(gr) + 1j * np.asarray(gi)
+    scale = np.abs(want).max()
+    assert np.max(np.abs(got - want)) / scale < 1e-5
