@@ -467,8 +467,15 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     and applies T itself, saving the separate XLA C = B*T pass).  n2 must
     be L2*128 with L2 a power of two.  Returns (n1, L2, 128) f32 with
     M[k1, k1', k2s] = |X_row[k1' + L2*((k2s + L2s) % 128)]| — flatten via
-    ``M.transpose(2, 1, 0).reshape(-1)`` for the natural shifted-spectrum
-    order.
+    :func:`natural_flatten` for the natural shifted-spectrum order.
+
+    ``permuted=True`` keeps the middle axis in the DFT-m0 finish's
+    NATIVE order p = c_idx*m0 + k_hi, skipping the in-VMEM stack +
+    swapaxes relayout (the kernel's dominant non-dot cost at 4M —
+    probe_breakdown3); ``natural_flatten(M, permuted=True)`` absorbs the
+    reorder into the same single XLA transpose.  ``wide=True``
+    additionally runs the lane DFT per-slice in the wide layout (A/B'd
+    neutral on-chip; gated experiment).
 
     ``transposed=True`` makes the KERNEL produce that layout directly:
     returns (128, L2, n1) so the natural order is one ``reshape(-1)`` —
