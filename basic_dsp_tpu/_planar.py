@@ -22,6 +22,35 @@ import numpy as np
 _mode: Optional[bool] = None
 
 
+_native_f64 = None
+
+
+def complex_dtype_for(*dtypes):
+    """Complex result dtype for the given operand dtypes, CAPPED at
+    complex64 on backends without native f64.
+
+    TPUs have no f64; the documented contract (docs/API.md, config.
+    warn_if_no_native_f64) is that f64 flavors compute at f32 grade
+    there.  The cap makes that literal: on the axon runtime an
+    in-program f64->c128 convert is not merely slow, it ABORTS the
+    process ("Unsupported CVT X64 expansion from f64 to c128",
+    x64_rewriter.cc — measured 2026-08-19 via the f64 C-ABI facade)."""
+    cd = jnp.result_type(*dtypes, jnp.complex64)
+    if cd == jnp.dtype(jnp.complex128) and not _has_native_f64():
+        return jnp.dtype(jnp.complex64)
+    return cd
+
+
+def _has_native_f64() -> bool:
+    global _native_f64
+    if _native_f64 is None:
+        try:
+            _native_f64 = jax.devices()[0].platform != "tpu"
+        except Exception:
+            _native_f64 = True
+    return _native_f64
+
+
 def set_planar_complex(enabled: bool) -> None:
     """Force planar-complex mode on/off (default: auto-detect axon)."""
     global _mode
@@ -76,7 +105,7 @@ class PlanarComplex:
 
     @property
     def dtype(self):
-        return jnp.result_type(self.re.dtype, jnp.complex64)
+        return complex_dtype_for(self.re.dtype)
 
     def __getitem__(self, idx):
         return PlanarComplex(self.re[idx], self.im[idx])
@@ -98,7 +127,7 @@ def is_planar(x) -> bool:
 def unwrap(x):
     """PlanarComplex -> complex array (inside a trace); passthrough else."""
     if is_planar(x):
-        cdtype = jnp.result_type(x.re.dtype, jnp.complex64)
+        cdtype = complex_dtype_for(x.re.dtype)
         return x.re.astype(cdtype) + 1j * x.im.astype(cdtype)
     return x
 
@@ -197,7 +226,7 @@ def from_host_complex(re, im):
 
 
 def _combine(re, im):
-    cdtype = jnp.result_type(re.dtype, im.dtype, jnp.complex64)
+    cdtype = complex_dtype_for(re.dtype, im.dtype)
     return re.astype(cdtype) + 1j * im.astype(cdtype)
 
 

@@ -671,7 +671,12 @@ def natural_flatten(M: jnp.ndarray, permuted: bool = False) -> jnp.ndarray:
 
 def supported(n1: int, n2: int) -> bool:
     L2 = n2 // LANES
-    return (L2 * LANES == n2 and L2 >= 2 and (L2 & (L2 - 1)) == 0
+    # L2 cap: the per-block VMEM working set grows with n2; L2 = 2048
+    # exceeds Mosaic's scoped-vmem stack even at the 100 MB limit
+    # (measured: "Scoped allocation with size 112.07M ... exceeded" at
+    # 16M samples with n1=64).  fourstep.factor keeps n2 in range by
+    # growing n1 for long signals.
+    return (L2 * LANES == n2 and 2 <= L2 <= 1024 and (L2 & (L2 - 1)) == 0
             and n1 % min(ROWS_PER_BLOCK, n1) == 0)
 
 

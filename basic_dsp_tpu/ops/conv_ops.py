@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import config
+from .. import _planar, config
 
 # Set to True after the first Pallas overlap-save compile failure so a
 # user-enabled ``use_pallas_overlap_save=True`` degrades to the XLA blocked
@@ -76,7 +76,7 @@ def convolve_signal_fft(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool):
     """Whole-signal spectral path for the centered circular convolution."""
     n = x.shape[-1]
     g = kernel_layout(h, n)
-    cdtype = jnp.result_type(x.dtype, jnp.complex64)
+    cdtype = _planar.complex_dtype_for(x.dtype)
     out = jnp.fft.ifft(jnp.fft.fft(x.astype(cdtype), axis=-1)
                        * jnp.fft.fft(g.astype(cdtype), axis=-1), axis=-1)
     return out if is_complex else jnp.real(out).astype(x.dtype)
@@ -95,7 +95,7 @@ def blocked_linear_conv(x: jnp.ndarray, h_eff: jnp.ndarray,
     """
     n = x.shape[-1]
     m_eff = h_eff.shape[-1]
-    cdtype = jnp.result_type(x.dtype, h_eff.dtype, jnp.complex64)
+    cdtype = _planar.complex_dtype_for(x.dtype, h_eff.dtype)
     L = fft_len - (m_eff - 1)
     assert L >= m_eff - 1, "fft_len too small for single-block overlap"
     nb = -(-n // L)
@@ -353,7 +353,7 @@ def convolve_signal(x: jnp.ndarray, h: jnp.ndarray, is_complex: bool,
     onto the TPU paths: the reference's SIMD gate (len>1000, imp<=202)
     routes to the MXU Toeplitz-matmul path, the overlap-discard gate to the
     blocked-FFT pipeline, everything else to a whole-signal FFT."""
-    from .. import config as _config
+    from .. import _planar, config as _config
     cfg = cfg or _config.default_config()
     n = x.shape[-1]
     m = h.shape[-1]
@@ -409,7 +409,7 @@ def convolve_function(x: jnp.ndarray, fun, ratio: float, conv_len: int,
                        dtype=jnp.result_type(x.real.dtype, jnp.float32))
         taps = fun.calc(s * ratio)
     if is_complex:
-        taps = taps.astype(jnp.result_type(taps, jnp.complex64))
+        taps = taps.astype(_planar.complex_dtype_for(taps.dtype))
     if 2 * L + 1 <= n:
         # The sampled kernel is a centered 2L+1-tap impulse response —
         # exactly convolve_signal's contract (h[s+L] = fun(s*ratio)), so it
@@ -420,7 +420,7 @@ def convolve_function(x: jnp.ndarray, fun, ratio: float, conv_len: int,
     # onto the circle with accumulation (the WrappingIterator semantics).
     g = jnp.zeros((n,), dtype=taps.dtype)
     g = g.at[jnp.arange(-L, L + 1) % n].add(taps)
-    cdtype = jnp.result_type(x.dtype, g.dtype, jnp.complex64)
+    cdtype = _planar.complex_dtype_for(x.dtype, g.dtype)
     out = jnp.fft.ifft(jnp.fft.fft(x.astype(cdtype), axis=-1)
                        * jnp.fft.fft(g.astype(cdtype), axis=-1), axis=-1)
     if is_complex or jnp.iscomplexobj(taps):

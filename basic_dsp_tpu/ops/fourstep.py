@@ -38,13 +38,22 @@ from .. import config
 
 
 def factor(n: int, n1: int = 0):
-    """Splits n = n1 * n2 with n1 the MXU-stage size (128/256 preferred)."""
+    """Splits n = n1 * n2 with n1 the MXU-stage size (128/256 preferred).
+
+    For long signals n1 grows so that n2 stays <= 128*1024: the Pallas
+    row-FFT kernel's per-block VMEM working set scales with n2 and
+    overflows Mosaic's scoped-vmem stack beyond L2 = 1024 (measured at
+    16M samples)."""
     if n1:
         assert n % n1 == 0
         return n1, n // n1
     for cand in (128, 256, 64):
         if n % cand == 0 and n // cand >= cand:
-            return cand, n // cand
+            n1c = cand
+            while n // n1c > 128 * 1024 and n % (2 * n1c) == 0 \
+                    and n // (2 * n1c) >= 2 * n1c:
+                n1c *= 2
+            return n1c, n // n1c
     # Fallback: closest-to-sqrt factor pair.
     best = 1
     for d in range(1, int(np.sqrt(n)) + 1):

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import conv_ops, fft_ops, reorg_ops
-from .. import config
+from .. import _planar, config
 
 
 def parse_rational_factor(factor: float, who: str, max_den: int = 64):
@@ -369,7 +369,7 @@ def interpolatei(x: jnp.ndarray, fun, factor: int,
         return x
     work = x
     if not is_complex:
-        work = x.astype(jnp.result_type(x, jnp.complex64))
+        work = x.astype(_planar.complex_dtype_for(x.dtype))
     up = reorg_ops.zero_interleave(work, factor)
     freq = fft_ops.plain_fft(up)
     freq = conv_ops.multiply_function(freq, fun.calc_freq, float(factor),
@@ -391,7 +391,7 @@ def interpolate(x: jnp.ndarray, fun, dest_points: int, delay: float,
     """
     n = x.shape[-1]
     factor = dest_points / n
-    work = x if is_complex else x.astype(jnp.result_type(x, jnp.complex64))
+    work = x if is_complex else x.astype(_planar.complex_dtype_for(x.dtype))
     freq = fft_ops.plain_fft(work)
     if delay != 0.0:
         freq = conv_ops.apply_linear_phase(freq, delay / delta)

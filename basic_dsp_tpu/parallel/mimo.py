@@ -49,7 +49,8 @@ def sharded_convolve_mat(x: jnp.ndarray, imp: np.ndarray, mesh: Mesh,
     if imp.ndim != 3 or imp.shape[0] != C or imp.shape[1] != C:
         raise ValueError("impulse_response must be (C, C, taps)")
 
-    cdtype = jnp.result_type(x.dtype, jnp.complex64)
+    from .. import _planar
+    cdtype = _planar.complex_dtype_for(x.dtype)
     # Kernel spectra: small (taps -> n roll/pad) and static per call site —
     # built once globally, sharded over the INPUT-channel axis r so each
     # device holds G[:, r_local, :].

@@ -86,7 +86,8 @@ def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
     if n // d < m_eff:
         raise ValueError("shard shorter than kernel; use fewer devices")
     fft_len = conv_ops.pick_fft_len(m_eff, fft_len)
-    cdtype = jnp.result_type(x.dtype, h.dtype, jnp.complex64)
+    from .. import _planar
+    cdtype = _planar.complex_dtype_for(x.dtype, h.dtype)
     h_eff = h[..., start:start + length].astype(cdtype)
 
     fn = _sharded_conv_fn(mesh, axis_name, m_eff, c, fft_len,

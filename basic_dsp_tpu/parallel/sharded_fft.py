@@ -234,7 +234,8 @@ def sharded_fft_planar(xr: jnp.ndarray, xi: jnp.ndarray, mesh: Mesh,
     n = xr.shape[-1]
     d = mesh.devices.size
     n1, n2 = _factors_for_mesh(n, d)
-    cdtype = jnp.complex128 if xr.dtype == jnp.float64 else jnp.complex64
+    from .. import _planar
+    cdtype = _planar.complex_dtype_for(xr.dtype)
     # Ship the twiddle as PLANES too: device_put of a complex host array
     # is itself a boundary crossing on hostile backends.
     twr, twi = _twiddle_planes_for(n, n1, n2, mesh, axis_name,

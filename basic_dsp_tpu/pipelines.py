@@ -59,7 +59,8 @@ def fir_fft_chain(x: jnp.ndarray, taps: jnp.ndarray, window: jnp.ndarray,
 @jax.jit
 def windowed_spectrum(x: jnp.ndarray, window: jnp.ndarray):
     """Config #1: windowed FFT magnitude of a (real or complex) signal."""
-    work = x.astype(jnp.result_type(x.dtype, jnp.complex64))
+    from . import _planar
+    work = x.astype(_planar.complex_dtype_for(x.dtype))
     return _shifted_mag(work * window.astype(work.dtype))
 
 

@@ -52,7 +52,8 @@ def _real_dtype_of(arr) -> jnp.dtype:
 
 
 def _complex_dtype_for(real_dtype) -> jnp.dtype:
-    return jnp.result_type(real_dtype, jnp.complex64)
+    # capped at c64 on no-f64 backends (see _planar.complex_dtype_for)
+    return _planar.complex_dtype_for(real_dtype)
 
 
 # ----------------------------------------------------------------------
