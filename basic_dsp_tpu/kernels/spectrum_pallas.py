@@ -682,7 +682,7 @@ def supported(n1: int, n2: int) -> bool:
 
 def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
                             interpret: bool = False,
-                            fold_twiddle: bool = False,
+                            fold_twiddle: bool = True,
                             transposed: bool = False) -> jnp.ndarray:
     """|fftshift(FFT(xw))| — the four-step DIF spectrum with the inner
     batched FFT + twiddle + |.| as the Pallas row-FFT kernel.
@@ -715,10 +715,11 @@ def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
     k3 = jnp.matmul(Fp, Ai, precision=prec)
     Br, Bi = k1 - k3, k1 + k2
     if fold_twiddle:
-        # Kernel applies T from streamed block inputs.  Measured at 4M:
-        # slightly SLOWER (0.904 vs 0.874 ms chain) than letting XLA fuse
-        # the multiply into the stage-1 matmul epilogue — kept for
-        # runtimes with different fusion behavior.
+        # Kernel applies T from streamed block inputs — now the DEFAULT:
+        # with the planar/permuted kernel this measured 0.575 -> 0.441
+        # ms/iter at 4M (round-3 A/B, parity exact; the XLA-side multiply
+        # materializes C and the custom call re-copies operands).  Round
+        # 2's opposite verdict (0.904 vs 0.874) predates that layout.
         M = rowfft_mag(Br, Bi, shift=True,
                        interpret=interpret,
                        Tr=jnp.asarray(Trn), Ti=jnp.asarray(Tin),

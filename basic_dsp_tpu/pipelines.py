@@ -174,12 +174,15 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     k3 = jnp.matmul(Fp, Ai, precision=prec)
     Br = k1 - k3
     Bi = k1 + k2
-    # Big twiddle: elementwise on planes, fused into the matmul epilogue.
-    Tr, Ti = jnp.asarray(Trn), jnp.asarray(Tin)
-    Cr = Br * Tr - Bi * Ti
-    Ci = Br * Ti + Bi * Tr
+    # Big twiddle: STREAMED INTO THE KERNEL as planar block inputs
+    # (rowfft_mag Tr/Ti).  Applying it in XLA materializes C and the
+    # custom call re-copies its operands for layout; letting the kernel
+    # read B directly and multiply T itself measured 0.575 -> 0.441
+    # ms/iter at 4M (round-3 A/B; parity exact).  Round 2's opposite
+    # verdict predates the planar/permuted kernel.
     from .kernels.spectrum_pallas import rowfft_mag
-    M = rowfft_mag(Cr, Ci, shift=True, interpret=interpret,
+    M = rowfft_mag(Br, Bi, shift=True, interpret=interpret,
+                   Tr=jnp.asarray(Trn), Ti=jnp.asarray(Tin),
                    transposed=transposed, budget=kern_budget,
                    permuted=not transposed, wide=wide)
     if transposed:
