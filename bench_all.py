@@ -79,10 +79,17 @@ def timed(fn, *args, iters=10):
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[1]
 
-    slope = (med(r3) - med(r1)) / (2 * iters)
-    if slope <= 0:  # tunnel noise: conservative upper bound
-        slope = med(r3) / (3 * iters)
-    return slope
+    # Median of 3 slope attempts (bench.py discipline): tunnel state
+    # swings identical programs 25%+ between single attempts — small
+    # problems worst (a 131k config measured 3x apart minutes apart).
+    slopes = []
+    for _ in range(3):
+        s_ = (med(r3) - med(r1)) / (2 * iters)
+        if s_ > 0:
+            slopes.append(s_)
+    if slopes:
+        return sorted(slopes)[len(slopes) // 2]
+    return med(r3) / (3 * iters)  # conservative upper bound
 
 
 def floor_ms(bytes_per_iter: float, flops_per_iter: float):
