@@ -221,6 +221,12 @@ def statistics_split_batched(x: jnp.ndarray, length: int, is_complex: bool):
     per_bucket = []
     for k, vals in enumerate(buckets):
         nk = len(range(k, n, length))
+        if nk == 0:
+            # length > n: this interleave bucket has no samples — the
+            # reference (and the non-batched path) yield Stats::empty.
+            per_bucket.append([_empty_stats(is_complex)
+                               for _ in range(C)])
+            continue
         per_bucket.append(_stats_list_from_host(
             [_planar.to_host(v) for v in vals], nk))
     return [[per_bucket[k][i] for k in range(length)] for i in range(C)]
@@ -303,13 +309,40 @@ def _df_tree_sum(hi, lo):
     return hi[..., 0], lo[..., 0]
 
 
+def _pow2_exp(v, guard: float):
+    """Per-row EXCESS base-2 exponent of max|v| above ``guard``: the
+    power-of-two prescale keeps df squares/products inside the f32 range
+    — x*x overflows to inf for |x| > ~1.8e19 otherwise (round-3 review
+    finding; the reference's f64 accumulation has no such cliff).
+
+    Only the excess is removed (0 for typical data), so small elements
+    in a wide-range row are not pushed toward the subnormal flush — a
+    full normalization to [1, 2) broke the adversarial-cancellation
+    contract.  Scaling by exact powers of two is rounding-free."""
+    m = jnp.max(jnp.abs(v), axis=-1)
+    e = jnp.floor(jnp.log2(jnp.where(m > 0, m, 1.0))) - guard
+    return jnp.clip(e, 0.0, 127.0)
+
+
 def _sum_df(x):
-    return _df_tree_sum(x, jnp.zeros_like(x))
+    """Returns (hi, lo, e2): true sum = (hi + lo) * 2**e2 (host f64).
+    guard=100: a 2^24-element sum of 2^100-magnitude terms stays < 2^125."""
+    e = _pow2_exp(x, 100.0)
+    xs = x * jnp.exp2(-e)[..., None]
+    hi, lo = _df_tree_sum(xs, jnp.zeros_like(xs))
+    return hi, lo, e
 
 
 def _dot_df(x, y):
-    p, e = _two_prod(x, y)
-    return _df_tree_sum(p, e)
+    """Returns (hi, lo, e2): true dot = (hi + lo) * 2**e2 (host f64).
+    guard=60 per side: products stay < 2^(120+2) + sum headroom."""
+    ex = _pow2_exp(x, 60.0)
+    ey = _pow2_exp(y, 60.0)
+    xs = x * jnp.exp2(-ex)[..., None]
+    ys = y * jnp.exp2(-ey)[..., None]
+    p, err = _two_prod(xs, ys)
+    hi, lo = _df_tree_sum(p, err)
+    return hi, lo, ex + ey
 
 
 def _prec_parts(x, square):
@@ -332,21 +365,26 @@ def _f64(v) -> np.ndarray:
     return np.asarray(_planar.to_host(v), dtype=np.float64)
 
 
+def _df_host(triple) -> np.ndarray:
+    """(hi, lo, e2) device triple -> exact f64 value (hi+lo) * 2**e2."""
+    hi, lo, e = triple
+    return (_f64(hi) + _f64(lo)) * np.exp2(_f64(e))
+
+
 def _prec_sum_host(x, square: bool) -> np.ndarray:
     """np.float64/complex128 array of shape x.shape[:-1]."""
     parts = _planar.call(_prec_parts, x, static=(square,))
     if _planar.is_complex_repr(x):
         if square:
-            (aah, aal), (bbh, bbl), (abh, abl) = parts
-            re = (_f64(aah) + _f64(aal)) - (_f64(bbh) + _f64(bbl))
-            im = 2.0 * (_f64(abh) + _f64(abl))
+            aa, bb, ab = parts
+            re = _df_host(aa) - _df_host(bb)
+            im = 2.0 * _df_host(ab)
         else:
-            (rh, rl), (ih, il) = parts
-            re = _f64(rh) + _f64(rl)
-            im = _f64(ih) + _f64(il)
+            r_, i_ = parts
+            re = _df_host(r_)
+            im = _df_host(i_)
         return re + 1j * im
-    hi, lo = parts
-    return _f64(hi) + _f64(lo)
+    return _df_host(parts)
 
 
 def sum_prec(x: jnp.ndarray):
@@ -472,12 +510,11 @@ def _dot_prec_parts(x, y):
 def _dot_prec_host(x, y) -> np.ndarray:
     parts = _planar.call(_dot_prec_parts, x, y)
     if _planar.is_complex_repr(x) or _planar.is_complex_repr(y):
-        (ach, acl), (bdh, bdl), (adh, adl), (bch, bcl) = parts
-        re = (_f64(ach) + _f64(acl)) - (_f64(bdh) + _f64(bdl))
-        im = (_f64(adh) + _f64(adl)) + (_f64(bch) + _f64(bcl))
+        ac, bd, ad, bc = parts
+        re = _df_host(ac) - _df_host(bd)
+        im = _df_host(ad) + _df_host(bc)
         return re + 1j * im
-    hi, lo = parts
-    return _f64(hi) + _f64(lo)
+    return _df_host(parts)
 
 
 def dot_product_prec(x: jnp.ndarray, y: jnp.ndarray):

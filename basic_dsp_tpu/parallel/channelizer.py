@@ -138,6 +138,24 @@ def _idft_eligible(C: int) -> bool:
     return _is_tpu_backend()
 
 
+def _polyphase_fir_planes(ext: jnp.ndarray, taps_merged: jnp.ndarray,
+                          s_out: int):
+    """Shared filterbank FIR front-end: depthwise VALID conv over the row
+    axis, one group per phase lane, both complex planes in the batch dim
+    (the single source of truth — channelize_and_demod's MXU-IDFT path
+    and _channelize_rows both consume it).  Returns (re, im) planes of
+    shape (s_out, C)."""
+    tp1, C = taps_merged.shape
+    rhs = jnp.flip(taps_merged, axis=0).reshape(tp1, 1, C)
+    lhs = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs.astype(lhs.dtype),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=C, precision="highest")
+    return out[0, :s_out], out[1, :s_out]
+
+
 def _channelize_rows(ext: jnp.ndarray, taps_merged: jnp.ndarray,
                      s_out: int) -> jnp.ndarray:
     """Filterbank core in (rows, C) layout.
@@ -169,23 +187,17 @@ def _channelize_rows(ext: jnp.ndarray, taps_merged: jnp.ndarray,
     # (profile_chan.py: fir_depthwise vs fir_merged; full chain 0.49 vs
     # 0.57 ms).  Inside one jit the real/imag split fuses with the
     # upstream planar entry, so no relayout pass is paid.
-    rhs = jnp.flip(taps_merged, axis=0).reshape(t + 1, 1, C)
-    lhs = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs.astype(lhs.dtype),
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=C, precision="highest")
+    u0, u1 = _polyphase_fir_planes(ext, taps_merged, s_out)
     if _idft_eligible(C):
         # Factored MXU IDFT (see _idft_rows_planar); re-interleave the
         # (c1, c2) layout here since this generic core's contract is a
         # flat (s, C) channel row.  channelize_and_demod skips this
         # interleave by folding it into its final output transpose.
-        yr, yi = _idft_rows_planar(out[0, :s_out], out[1, :s_out], C)
+        yr, yi = _idft_rows_planar(u0, u1, C)
         yr = yr.transpose(0, 2, 1).reshape(-1, C)
         yi = yi.transpose(0, 2, 1).reshape(-1, C)
         return jax.lax.complex(yr, yi)
-    u = jax.lax.complex(out[0, :s_out], out[1, :s_out])
+    u = jax.lax.complex(u0, u1)
     # Channel mixing on the MINOR axis (the fast FFT layout on TPU).
     return C * jnp.fft.ifft(u, axis=1)
 
@@ -252,14 +264,8 @@ def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
         X = x.reshape(-1, C)
         S = X.shape[0]
         ext = jnp.concatenate([jnp.zeros((t, C), X.dtype), X], axis=0)
-        tp1 = taps_merged.shape[0]
-        rhs = jnp.flip(taps_merged, axis=0).reshape(tp1, 1, C)
-        lhs = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
-        out = jax.lax.conv_general_dilated(
-            lhs, rhs.astype(lhs.dtype), window_strides=(1,),
-            padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=C, precision="highest")
-        yr, yi = _idft_rows_planar(out[0, :S], out[1, :S], C)
+        u0, u1 = _polyphase_fir_planes(ext, taps_merged, S)
+        yr, yi = _idft_rows_planar(u0, u1, C)
         # FM demod on planes: z = y * conj(prev), one-row lookback.
         pr = jnp.concatenate([yr[:1], yr[:-1]], axis=0)
         pi = jnp.concatenate([yi[:1], yi[:-1]], axis=0)

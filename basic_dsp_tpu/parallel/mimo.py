@@ -60,7 +60,8 @@ def sharded_convolve_mat(x: jnp.ndarray, imp: np.ndarray, mesh: Mesh,
 
     prec = config.matmul_precision()
 
-    fkey = (C, n, d, axis_name, jnp.dtype(x.dtype).name, str(prec))
+    fkey = (C, n, d, axis_name, jnp.dtype(x.dtype).name, str(prec),
+            tuple(dev.id for dev in mesh.devices.flat))
     fn = _FN_CACHE.get(fkey)
     if fn is None:
         def local(xl, Gl):

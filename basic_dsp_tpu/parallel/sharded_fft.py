@@ -190,7 +190,12 @@ def sharded_fft(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp",
     n = x.shape[-1]
     d = mesh.devices.size
     n1, n2 = _factors_for_mesh(n, d)
-    tw = _twiddle_for(n, n1, n2, mesh, axis_name, x.dtype)
+    # Twiddle dtype must be the COMPLEX result type: astype(x.dtype) for
+    # a real input would silently truncate the imaginary part (numpy only
+    # warns) and corrupt the whole spectrum.
+    from .. import _planar
+    tw = _twiddle_for(n, n1, n2, mesh, axis_name,
+                      _planar.complex_dtype_for(x.dtype))
 
     # jit caches on function identity — a fresh `local` closure per call
     # would RECOMPILE every invocation (~50 ms, dominated round-2 CPU-mesh

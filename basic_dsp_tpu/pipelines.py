@@ -136,6 +136,10 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     # budget grammar: "high" = every dot 3-pass; "high-xla" / "high-kernel"
     # restrict it to the XLA-side (FIR + stage-1) / Pallas-kernel dots —
     # the A/B knobs probe_budget.py uses to attribute the win.
+    if budget not in (None, "high", "high-xla", "high-kernel"):
+        raise ValueError(
+            f"unknown budget {budget!r}: expected None, 'high', "
+            f"'high-xla' or 'high-kernel'")
     xla_budget = budget.removesuffix("-xla") if budget in (
         "high", "high-xla") else None
     kern_budget = budget.removesuffix("-kernel") if budget in (

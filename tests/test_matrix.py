@@ -205,3 +205,18 @@ def test_matrix_complex_batched_statistics():
         assert abs(prec[i].sum - c128[i].sum()) < 1e-9
         assert abs(prec[i].rms
                    - (c128[i] ** 2).mean() ** 0.5) < 1e-9
+
+
+def test_matrix_statistics_split_longer_than_rows():
+    """length > row length: the trailing interleave buckets are EMPTY
+    Statistics (reference Stats::empty), not a crash (round-3 review
+    finding: the batched path lacked the nk==0 guard)."""
+    import numpy as np
+    import basic_dsp_tpu as bd
+
+    m = bd.from_rows([bd.to_real_time_vec(np.arange(3.0)),
+                      bd.to_real_time_vec(np.arange(3.0) + 1)])
+    rows = m.statistics_split(5)
+    assert len(rows) == 2 and len(rows[0]) == 5
+    assert rows[0][4].count == 0
+    assert rows[0][0].count == 1

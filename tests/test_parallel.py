@@ -282,23 +282,25 @@ def test_channelize_mxu_idft_matches_fft_path(C):
     saved = _cfg.default_config()
     _cfg.set_default_config(dataclasses.replace(
         saved, use_mxu_channel_dft=True))
-    assert ch._idft_eligible(C)
-    got = np.asarray(ch.channelize_and_demod(jnp.asarray(x), proto, C))
-    # reference formulation: FIR rows + NUMPY ifft channel mixing
-    # (an independent oracle — _channelize_rows itself now routes
-    # through the MXU IDFT when eligible)
-    taps = np.asarray(jax.device_get(ch._merged_tap_rows(proto, C)))
-    t = taps.shape[0] - 1
-    X = x.reshape(-1, C)
-    S = X.shape[0]
-    ext = np.concatenate([np.zeros((t, C), X.dtype), X], axis=0)
-    u = np.zeros((S, C), np.complex64)
-    for p_ in range(t + 1):
-        u += taps[p_] * ext[t - p_: t - p_ + S]
-    y = (C * np.fft.ifft(u, axis=1)).astype(np.complex64)
-    prev = np.concatenate([y[:1], y[:-1]], axis=0)
-    want = np.angle(y * np.conj(prev)).T
-    _cfg.set_default_config(saved)
+    try:
+        assert ch._idft_eligible(C)
+        got = np.asarray(ch.channelize_and_demod(jnp.asarray(x), proto, C))
+        # reference formulation: FIR rows + NUMPY ifft channel mixing
+        # (an independent oracle — _channelize_rows itself now routes
+        # through the MXU IDFT when eligible)
+        taps = np.asarray(jax.device_get(ch._merged_tap_rows(proto, C)))
+        t = taps.shape[0] - 1
+        X = x.reshape(-1, C)
+        S = X.shape[0]
+        ext = np.concatenate([np.zeros((t, C), X.dtype), X], axis=0)
+        u = np.zeros((S, C), np.complex64)
+        for p_ in range(t + 1):
+            u += taps[p_] * ext[t - p_: t - p_ + S]
+        y = (C * np.fft.ifft(u, axis=1)).astype(np.complex64)
+        prev = np.concatenate([y[:1], y[:-1]], axis=0)
+        want = np.angle(y * np.conj(prev)).T
+    finally:
+        _cfg.set_default_config(saved)
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
@@ -338,3 +340,17 @@ def test_sharded_fft_planar_matches_complex(mesh):
     got = np.asarray(gr) + 1j * np.asarray(gi)
     scale = np.abs(want).max()
     assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+def test_sharded_fft_real_input(mesh):
+    """A REAL input must produce the full complex spectrum: the twiddle
+    is built at the complex result dtype (an astype to the input dtype
+    silently truncated the imaginary part — round-3 review finding)."""
+    from basic_dsp_tpu.parallel import sharded_fft as sf
+
+    n = 1 << 12
+    x = create_data(41, n).astype(np.float32)
+    xs = shard_time_axis(jnp.asarray(x), mesh)
+    got = np.asarray(sf.sharded_fft(xs, mesh))
+    want = np.fft.fft(x)
+    assert np.max(np.abs(got - want)) / np.abs(want).max() < 1e-5

@@ -6,6 +6,7 @@ The reference accumulates f32 data in compensated f64
 grade WITHOUT shipping the array to host."""
 import warnings
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -70,3 +71,22 @@ def test_f64_warning_only_on_tpu():
     import jax
     on_tpu = jax.devices()[0].platform == "tpu"
     assert any("no native f64" in str(w.message) for w in rec) == on_tpu
+
+
+def test_prec_reductions_survive_large_magnitudes():
+    """|x| > ~1.8e19 overflows a naive f32 square to inf; the guarded
+    power-of-two prescale (round-3 review finding) keeps sum_sq_prec /
+    dot_product_prec / statistics_prec exact vs the f64 oracle."""
+    x32 = np.array([3e20, 1.0, -2.5e19], np.float32)
+    x = jnp.asarray(x32)
+    want = float(np.sum(np.float64(x32) ** 2))
+    got = stats_ops.sum_sq_prec(x)
+    assert np.isfinite(got) and abs(got - want) / want < 1e-12
+    got_d = stats_ops.dot_product_prec(x, x)
+    assert abs(got_d - want) / want < 1e-12
+    st = stats_ops.statistics_prec(x, False)
+    assert np.isfinite(st.rms)
+    z64 = np.array([3e20 + 2e20j, 1.0 + 0j], np.complex64)
+    sq = stats_ops.sum_sq_prec(jnp.asarray(z64))
+    want_z = np.sum(np.complex128(z64) ** 2)
+    assert np.isfinite(sq.real) and abs(sq - want_z) / abs(want_z) < 1e-10
