@@ -47,7 +47,12 @@ def _has_native_f64() -> bool:
         try:
             _native_f64 = jax.devices()[0].platform != "tpu"
         except Exception:
-            _native_f64 = True
+            # Probe failed (backend init / tunnel outage): do NOT cache,
+            # and answer the SAFE value — the capped (no-f64) behavior
+            # only costs precision, whereas an un-capped f64->c128
+            # convert hard-aborts the axon runtime (round-3 advisor
+            # finding: latching True here defeated the cap permanently).
+            return False
     return _native_f64
 
 

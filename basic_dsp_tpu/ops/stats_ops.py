@@ -321,25 +321,60 @@ def _pow2_exp(v, guard: float):
     contract.  Scaling by exact powers of two is rounding-free."""
     m = jnp.max(jnp.abs(v), axis=-1)
     e = jnp.floor(jnp.log2(jnp.where(m > 0, m, 1.0))) - guard
-    return jnp.clip(e, 0.0, 127.0)
+    return jnp.maximum(e, 0.0)
+
+
+def _exp_budget(dtype) -> float:
+    """Base-2 exponent budget for the ACCUMULATED df sum (with headroom
+    below the dtype's overflow exponent: f32 max ~2^128, f64 ~2^1024)."""
+    return 120.0 if jnp.dtype(dtype) == jnp.float32 else 1010.0
+
+
+def _log2_len(n: int) -> int:
+    return max(n - 1, 1).bit_length()
+
+
+def _pow2_neg(e, dtype):
+    """Bit-exact ``2**(-e)`` for integer-valued ``e >= 0``.  jnp.exp2 is
+    NOT exact for integer arguments on every backend (XLA CPU lowers it
+    via exp(x*ln2): exp2(-19.0) in f32 came back 1e-7 off, silently
+    breaking the 'rounding-free power-of-two prescale' contract)."""
+    ei = e.astype(jnp.int32)
+    if jnp.dtype(dtype) == jnp.float32:
+        return jax.lax.bitcast_convert_type(
+            (127 - ei) << 23, jnp.float32)
+    return jax.lax.bitcast_convert_type(
+        (1023 - ei.astype(jnp.int64)) << 52, jnp.float64)
 
 
 def _sum_df(x):
     """Returns (hi, lo, e2): true sum = (hi + lo) * 2**e2 (host f64).
-    guard=100: a 2^24-element sum of 2^100-magnitude terms stays < 2^125."""
-    e = _pow2_exp(x, 100.0)
-    xs = x * jnp.exp2(-e)[..., None]
+    The guard folds the reduction length in (round-3 advisor finding:
+    a fixed per-element guard let the ACCUMULATION overflow — e.g.
+    sum of 2^24 terms of magnitude 2^guard reaches 2^(guard+24)):
+    log2(max) - e + log2(n) <= budget, so scaled partial sums stay
+    finite for any n."""
+    guard = _exp_budget(x.dtype) - _log2_len(x.shape[-1])
+    e = _pow2_exp(x, guard)
+    xs = x * _pow2_neg(e, x.dtype)[..., None]
     hi, lo = _df_tree_sum(xs, jnp.zeros_like(xs))
     return hi, lo, e
 
 
 def _dot_df(x, y):
     """Returns (hi, lo, e2): true dot = (hi + lo) * 2**e2 (host f64).
-    guard=60 per side: products stay < 2^(120+2) + sum headroom."""
-    ex = _pow2_exp(x, 60.0)
-    ey = _pow2_exp(y, 60.0)
-    xs = x * jnp.exp2(-ex)[..., None]
-    ys = y * jnp.exp2(-ey)[..., None]
+    Per-side guard satisfies 2*(log2(max) - e) + log2(n) <= budget, so
+    both the products AND their n-term accumulation stay finite
+    (round-3 advisor finding: the old fixed guard=60 bounded only the
+    per-element product, and sum_sq_prec of 2^20 elements of 2e16
+    overflowed to NaN)."""
+    # floor: the guard must be an INTEGER or e becomes fractional and the
+    # "exact power-of-two prescale" silently rounds.
+    guard = float((int(_exp_budget(x.dtype)) - _log2_len(x.shape[-1])) // 2)
+    ex = _pow2_exp(x, guard)
+    ey = _pow2_exp(y, guard)
+    xs = x * _pow2_neg(ex, x.dtype)[..., None]
+    ys = y * _pow2_neg(ey, y.dtype)[..., None]
     p, err = _two_prod(xs, ys)
     hi, lo = _df_tree_sum(p, err)
     return hi, lo, ex + ey
@@ -371,10 +406,8 @@ def _df_host(triple) -> np.ndarray:
     return (_f64(hi) + _f64(lo)) * np.exp2(_f64(e))
 
 
-def _prec_sum_host(x, square: bool) -> np.ndarray:
-    """np.float64/complex128 array of shape x.shape[:-1]."""
-    parts = _planar.call(_prec_parts, x, static=(square,))
-    if _planar.is_complex_repr(x):
+def _combine_prec_parts_host(parts, is_complex: bool, square: bool):
+    if is_complex:
         if square:
             aa, bb, ab = parts
             re = _df_host(aa) - _df_host(bb)
@@ -385,6 +418,37 @@ def _prec_sum_host(x, square: bool) -> np.ndarray:
             im = _df_host(i_)
         return re + 1j * im
     return _df_host(parts)
+
+
+def _prec_sum_host(x, square: bool) -> np.ndarray:
+    """np.float64/complex128 array of shape x.shape[:-1]."""
+    parts = _planar.call(_prec_parts, x, static=(square,))
+    return _combine_prec_parts_host(parts, _planar.is_complex_repr(x),
+                                    square)
+
+
+def _bucket_rows(x, length: int):
+    """(..., n) -> (..., length, ceil(n/length)): row ``k`` holds the
+    interleave bucket ``x[..., k::length]`` zero-padded at the end (zeros
+    are exact no-ops for df sums and sums of products)."""
+    n = x.shape[-1]
+    m = -(-n // length)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m * length - n)]
+    xp = jnp.pad(x, pad)
+    return jnp.moveaxis(xp.reshape(x.shape[:-1] + (m, length)), -1, -2)
+
+
+def _prec_split_parts(x, length, square):
+    return _prec_parts(_bucket_rows(x, length), square)
+
+
+def _prec_split_sums_host(x, length: int, square: bool) -> np.ndarray:
+    """All ``length`` interleave buckets' df sums in ONE device program
+    (round-3 advisor finding: the per-bucket loop cost 2*length tunnel
+    dispatches).  Returns shape x.shape[:-1] + (length,)."""
+    parts = _planar.call(_prec_split_parts, x, static=(length, square))
+    return _combine_prec_parts_host(parts, _planar.is_complex_repr(x),
+                                    square)
 
 
 def sum_prec(x: jnp.ndarray):
@@ -443,15 +507,15 @@ def statistics_split_prec(x: jnp.ndarray, length: int, is_complex: bool):
     n = x.shape[-1]
     if n == 0 or length == 0:
         return base
+    s = _prec_split_sums_host(x, length, square=False)
+    sq = _prec_split_sums_host(x, length, square=True)
     out = []
     for k, b in enumerate(base):
         if b.count == 0:
             out.append(b)
             continue
-        sub = x[..., k::length]
-        s = _np_scalar(_prec_sum_host(sub, square=False))
-        sq = _np_scalar(_prec_sum_host(sub, square=True))
-        out.append(_stats_prec_from(b, b.count, s, sq, is_complex))
+        out.append(_stats_prec_from(b, b.count, _np_scalar(s[k]),
+                                    _np_scalar(sq[k]), is_complex))
     return out
 
 
@@ -463,15 +527,8 @@ def statistics_split_prec_batched(x: jnp.ndarray, length: int,
     C = x.shape[0]
     if n == 0 or length == 0:
         return base
-    per_bucket_s, per_bucket_sq = [], []
-    for k in range(length):
-        if k >= n:
-            per_bucket_s.append(None)
-            per_bucket_sq.append(None)
-            continue
-        sub = x[..., k::length]
-        per_bucket_s.append(_prec_sum_host(sub, square=False))
-        per_bucket_sq.append(_prec_sum_host(sub, square=True))
+    s = _prec_split_sums_host(x, length, square=False)    # (C, length)
+    sq = _prec_split_sums_host(x, length, square=True)
     out = []
     for i in range(C):
         row = []
@@ -481,8 +538,8 @@ def statistics_split_prec_batched(x: jnp.ndarray, length: int,
                 row.append(b)
             else:
                 row.append(_stats_prec_from(
-                    b, b.count, _np_scalar(per_bucket_s[k][i]),
-                    _np_scalar(per_bucket_sq[k][i]), is_complex))
+                    b, b.count, _np_scalar(s[i][k]),
+                    _np_scalar(sq[i][k]), is_complex))
         out.append(row)
     return out
 

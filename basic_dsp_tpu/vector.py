@@ -158,6 +158,18 @@ def _setitem_impl(x, value, key):
     return x.at[key if len(key) > 1 else key[0]].set(value)
 
 
+def _setitem_dynamic(x, value, idx):
+    """Shared jit program for integer-index writes: the index travels as a
+    device argument, so per-sample mutation loops (the reference
+    ``FloatIndexMut`` idiom, vec_impl_and_indexers.rs:16-64) compile ONCE
+    instead of once per distinct index (round-3 advisor finding:
+    ``static=(key,)`` traced a new program per index, ~25 ms/compile
+    through the axon tunnel, and could evict the shared program cache)."""
+    v = jnp.asarray(value).astype(x.dtype).reshape((1,) * x.ndim)
+    return jax.lax.dynamic_update_slice(
+        x, v, tuple(idx[d] for d in range(x.ndim)))
+
+
 def _complex_to_interleaved(x):
     inter = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
     return inter.reshape(x.shape[:-1] + (2 * x.shape[-1],))
@@ -372,6 +384,23 @@ class DspVector:
         elif isinstance(value, (int, float)) and self.is_complex():
             value = complex(value)
         key = idx if isinstance(idx, tuple) else (idx,)
+        if (len(key) == self._data.ndim
+                and all(isinstance(i, (int, np.integer)) for i in key)
+                and not isinstance(value, (np.ndarray, jax.Array,
+                                           _planar.PlanarComplex))):
+            # Pure integer index + scalar value: one shared program, the
+            # index rides as a device argument (see _setitem_dynamic).
+            norm = []
+            for i, n in zip(key, self._data.shape):
+                j = int(i) + (n if int(i) < 0 else 0)
+                if not 0 <= j < n:
+                    raise IndexError(
+                        f"index {i} out of range for axis of size {n}")
+                norm.append(j)
+            self._data = _planar.call(
+                _setitem_dynamic, self._data, value,
+                jnp.asarray(np.asarray(norm, np.int32)))
+            return
         self._data = _planar.call(_setitem_impl, self._data, value,
                                   static=(key,))
 
