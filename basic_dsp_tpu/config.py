@@ -164,9 +164,53 @@ def warn_if_no_native_f64() -> None:
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_name: str = "dsp") -> jax.sharding.Mesh:
-    """Creates a 1-D device mesh over which long signals / channels shard."""
+              axis_name: str = "dsp",
+              shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Tuple[str, ...] = ("host", "chip"),
+              ) -> jax.sharding.Mesh:
+    """Creates the device mesh over which long signals / channels shard.
+
+    Two forms:
+
+    * ``make_mesh(n)`` — 1-D mesh of ``n`` devices, axis ``axis_name``
+      (the intra-host case; the reference's multicore analog).
+    * ``make_mesh(shape=(H, C))`` — hierarchical ``(host, chip)`` mesh:
+      H hosts x C chips/host, axes ``axis_names`` outermost-first.  On a
+      real multi-host deployment (``jax.distributed.initialize`` +
+      ``jax.devices()`` spanning processes) the outer axis crosses DCN
+      and the inner axis rides ICI; every sharded op in
+      ``basic_dsp_tpu.parallel`` places its halo/handoff collectives on
+      the inner axis and only boundary handoffs on the outer axis (see
+      parallel/collectives.py).  Sharded ops default to sharding over
+      ALL mesh axes host-major, so the same call works on either form.
+    """
     devices = jax.devices()
+    if shape is not None:
+        total = int(np.prod(shape))
+        if len(devices) < total:
+            raise ValueError(f"mesh shape {shape} needs {total} devices, "
+                             f"only {len(devices)} visible")
+        if len(shape) != len(axis_names):
+            raise ValueError("shape and axis_names must have equal length")
+        arr = np.array(devices[:total]).reshape(shape)
+        return jax.sharding.Mesh(arr, tuple(axis_names))
     if n_devices is not None:
         devices = devices[:n_devices]
     return jax.sharding.Mesh(np.array(devices), (axis_name,))
+
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initializes the multi-host JAX runtime (jax.distributed) so
+    ``jax.devices()`` spans every host; call once per process before any
+    device op, then build the (host, chip) mesh with
+    ``make_mesh(shape=(num_hosts, chips_per_host))``.
+
+    Arguments default to the standard JAX env vars / TPU metadata
+    autodetection.  Single-process (one host, or the CPU test mesh)
+    needs no call."""
+    import jax.distributed
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

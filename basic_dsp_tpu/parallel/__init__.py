@@ -9,6 +9,7 @@ carries between blocks (convolution.rs:325-341) becomes a ``ppermute`` halo
 exchange over ICI, and the mergeable per-thread statistics partials
 (statistics.rs:211-250) become ``psum``/merge across chips.
 """
+from . import collectives
 from .sharded import (
     sharded_convolve_signal,
     sharded_interpolatef,

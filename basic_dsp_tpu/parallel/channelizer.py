@@ -281,7 +281,7 @@ def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
 
 def sharded_channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
                                  n_channels: int, mesh: Mesh,
-                                 axis_name: str = "dsp") -> jnp.ndarray:
+                                 axis_name=None) -> jnp.ndarray:
     """Mesh-parallel channelizer + FM demod, sharded over the *sample* axis.
 
     TPU-first layout choice: each device holds a contiguous block of input
@@ -299,9 +299,11 @@ def sharded_channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
     convention — devices with no source get zeros — reproduces the causal
     zero-padding at the global start).
     """
+    from . import collectives
+    axis_name = collectives.resolve_axes(mesh, axis_name)
     C = n_channels
     n = x.shape[-1]
-    d = int(mesh.shape[axis_name])
+    d = collectives.mesh_size(mesh, axis_name)
     if n % C != 0:
         raise ValueError(f"signal length {n} not divisible by {C} channels; the polyphase "
             f"split needs n % channels == 0 — zero-pad the signal first "
@@ -320,16 +322,19 @@ def sharded_channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_channelizer_fn(mesh: Mesh, axis_name: str, C: int, t: int,
+def _sharded_channelizer_fn(mesh: Mesh, axis_name, C: int, t: int,
                             d: int):
+    from . import collectives
+
     def body(xb, proto):
         # xb: (n/d,) contiguous local samples; halo = last (t+1) rows of the
         # left neighbor (FIR depth t rows + 1 row of demod lookback; the
         # one-sample polyphase delay rides inside the row structure).
+        # No wrap: the global first device gets zeros (causal padding).
         taps_merged = _merged_tap_rows(proto, C)
         halo_n = (t + 1) * C
-        fwd = [(i, i + 1) for i in range(d - 1)]  # no wrap: dev 0 gets zeros
-        halo = jax.lax.ppermute(xb[-halo_n:], axis_name, fwd)
+        halo = collectives.shift_from_left(xb[-halo_n:], axis_name,
+                                           wrap=False)
         ext = jnp.concatenate([halo, xb]).reshape(-1, C)
         s_out = xb.shape[-1] // C + 1        # +1 row for the demod lookback
         y = _channelize_rows(ext, taps_merged, s_out)

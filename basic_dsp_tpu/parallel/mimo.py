@@ -32,16 +32,20 @@ _FN_CACHE: dict = {}
 
 
 def sharded_convolve_mat(x: jnp.ndarray, imp: np.ndarray, mesh: Mesh,
-                         axis_name: str = "dsp") -> jnp.ndarray:
+                         axis_name=None) -> jnp.ndarray:
     """Distributed ``matrix._convolve_mat``: ``out[c] = sum_r
     rows[r] (*) imp[c, r]`` with rows (C, n) sharded over channels.
 
     ``imp``: (C, C, taps) kernel grid (out_channel, in_channel, tap).
     Requires ``C % mesh_size == 0``.  Returns the (C, n) output sharded
-    over channels.
+    over channels.  On a hierarchical (host, chip) mesh the
+    ``psum_scatter`` lowers to an ICI reduce-scatter per host plus one
+    DCN cross-host reduce of the (C/d, n) partials.
     """
+    from . import collectives
+    axis_name = collectives.resolve_axes(mesh, axis_name)
     C, n = x.shape
-    d = mesh.devices.size
+    d = collectives.mesh_size(mesh, axis_name)
     if C % d != 0:
         raise ValueError(
             f"sharded_convolve_mat: channel count {C} must divide by the "

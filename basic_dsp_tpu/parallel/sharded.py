@@ -7,6 +7,13 @@ neighbors via ``jax.lax.ppermute``.  Because the global convolution is
 *circular*, the ring topology supplies exactly the right wrap-around at the
 first/last shard — no special-casing (the reference patches these edges with
 scalar convolution, convolution.rs:374-398; here the ring does it).
+
+Multi-host: every entry point also accepts a hierarchical
+``(host, chip)`` mesh (``config.make_mesh(shape=(H, C))``) — the signal
+shards over the flattened host-major device order and the halo exchange
+runs hierarchically (ICI ppermute everywhere + a DCN handoff only at
+host boundaries; see parallel/collectives.py).  DCN traffic per call =
+halo_bytes * n_hosts, independent of chips/host.
 """
 from __future__ import annotations
 
@@ -20,12 +27,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import config
 from ..ops import conv_ops, stats_ops
+from . import collectives
 
 
 def shard_time_axis(x: jnp.ndarray, mesh: Mesh,
-                    axis_name: str = "dsp") -> jnp.ndarray:
-    """Places a signal on the mesh, sharded over its last (time) axis."""
-    spec = P(*([None] * (x.ndim - 1) + [axis_name]))
+                    axis_name=None) -> jnp.ndarray:
+    """Places a signal on the mesh, sharded over its last (time) axis.
+    Defaults to sharding over ALL mesh axes host-major (1-D meshes keep
+    their single axis)."""
+    axes = collectives.resolve_axes(mesh, axis_name)
+    spec = P(*([None] * (x.ndim - 1) + [axes]))
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
@@ -33,18 +44,19 @@ def _local_overlap_save(x_local, h_eff, m_eff, c, fft_len, axis_name):
     """Per-shard body: halo exchange + batched-FFT block convolution.
 
     ``x_local``: (ln,) shard.  Outputs the (ln,) shard of the global
-    circular centered convolution.
+    circular centered convolution.  ``axis_name`` may be a tuple
+    (hierarchical mesh): the ring shift then runs ICI-first with a DCN
+    handoff only at host boundaries (collectives.shift_from_*).
     """
-    d = jax.lax.axis_size(axis_name)
     halo_l = m_eff - c     # samples needed before each output
     halo_r = c - 1         # samples needed after each output
-    # Ring exchange: my tail goes to my right neighbor's left halo; my head
-    # goes to my left neighbor's right halo.  perm pairs are (src, dst).
-    fwd = [(i, (i + 1) % d) for i in range(d)]
-    bwd = [(i, (i - 1) % d) for i in range(d)]
-    left_halo = jax.lax.ppermute(x_local[..., -halo_l:], axis_name, fwd) \
+    # Ring exchange: my tail becomes my right neighbor's left halo; my head
+    # becomes my left neighbor's right halo.
+    left_halo = collectives.shift_from_left(x_local[..., -halo_l:],
+                                            axis_name) \
         if halo_l > 0 else x_local[..., :0]
-    right_halo = jax.lax.ppermute(x_local[..., :halo_r], axis_name, bwd) \
+    right_halo = collectives.shift_from_right(x_local[..., :halo_r],
+                                              axis_name) \
         if halo_r > 0 else x_local[..., :0]
     ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
 
@@ -63,20 +75,22 @@ def _local_overlap_save(x_local, h_eff, m_eff, c, fft_len, axis_name):
 
 
 def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
-                            axis_name: str = "dsp",
+                            axis_name=None,
                             fft_len: int = 0) -> jnp.ndarray:
     """Circular centered convolution of a time-sharded signal.
 
     Semantics identical to ``ops.conv_ops.convolve_signal_fft`` (and hence
     the reference's ``convolve_signal``); execution is fully sharded —
-    per-shard batched FFTs plus one neighbor ppermute.
+    per-shard batched FFTs plus one neighbor halo shift (hierarchical on
+    2-D (host, chip) meshes: ICI ppermute + host-boundary DCN handoff).
 
     Requires ``len(x) % mesh.size == 0`` and a local shard at least as long
     as the (clipped) kernel.
     """
+    axis_name = collectives.resolve_axes(mesh, axis_name)
     n = x.shape[-1]
     m = h.shape[-1]
-    d = mesh.devices.size
+    d = collectives.mesh_size(mesh, axis_name)
     if n % d != 0:
         raise ValueError(f"signal length {n} not divisible by mesh size {d}; sharded entry "
             f"points require n % n_devices == 0 — pad with zero_pad or pick "
@@ -99,7 +113,7 @@ def sharded_convolve_signal(x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh,
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_conv_fn(mesh: Mesh, axis_name: str, m_eff: int, c: int,
+def _sharded_conv_fn(mesh: Mesh, axis_name, m_eff: int, c: int,
                      fft_len: int, _precision_epoch: int = 0):
     """Jitted shard_map conv, cached per (mesh, kernel geometry) so repeated
     calls reuse the compiled executable.  ``_precision_epoch`` folds the
@@ -116,7 +130,7 @@ def _sharded_conv_fn(mesh: Mesh, axis_name: str, m_eff: int, c: int,
 
 def sharded_interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
                          delay: float, conv_len: int, mesh: Mesh,
-                         axis_name: str = "dsp",
+                         axis_name=None,
                          delta: float = 1.0) -> jnp.ndarray:
     """Fractional resampling of a time-sharded signal.
 
@@ -133,8 +147,9 @@ def sharded_interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
     """
     from ..ops import interp_ops
 
+    axis_name = collectives.resolve_axes(mesh, axis_name)
     n = x.shape[-1]
-    d = mesh.devices.size
+    d = collectives.mesh_size(mesh, axis_name)
     if n % d != 0:
         raise ValueError(f"signal length {n} not divisible by mesh size {d}; sharded entry "
             f"points require n % n_devices == 0 — pad with zero_pad or pick "
@@ -170,7 +185,7 @@ def sharded_interpolatef(x: jnp.ndarray, fun, interpolation_factor: float,
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_interp_fn(mesh: Mesh, axis_name: str, poly_p: int, poly_q: int,
+def _sharded_interp_fn(mesh: Mesh, axis_name, poly_p: int, poly_q: int,
                        nb: int, halo_l: int, halo_r: int, is_complex: bool,
                        _precision_epoch: int = 0):
     """Jitted shard_map resampler, cached per (mesh, geometry); the band
@@ -179,14 +194,12 @@ def _sharded_interp_fn(mesh: Mesh, axis_name: str, poly_p: int, poly_q: int,
     from ..ops import interp_ops
 
     def body(xl, M):
-        d = jax.lax.axis_size(axis_name)
-        fwd = [(i, (i + 1) % d) for i in range(d)]
-        bwd = [(i, (i - 1) % d) for i in range(d)]
-
         def one_plane(pl):
-            left = (jax.lax.ppermute(pl[..., -halo_l:], axis_name, fwd)
+            left = (collectives.shift_from_left(pl[..., -halo_l:],
+                                                axis_name)
                     if halo_l else pl[..., :0])
-            right = (jax.lax.ppermute(pl[..., :halo_r], axis_name, bwd)
+            right = (collectives.shift_from_right(pl[..., :halo_r],
+                                                  axis_name)
                      if halo_r else pl[..., :0])
             ext = jnp.concatenate([left, pl, right], axis=-1)
             return interp_ops._direct_apply(ext, M, poly_p, poly_q, nb)
@@ -203,8 +216,10 @@ def _sharded_interp_fn(mesh: Mesh, axis_name: str, poly_p: int, poly_q: int,
     ))
 
 
-def sharded_sum(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp"):
-    """psum-reduced sum over a time-sharded signal."""
+def sharded_sum(x: jnp.ndarray, mesh: Mesh, axis_name=None):
+    """psum-reduced sum over a time-sharded signal (hierarchical meshes:
+    XLA reduces over ICI first, then DCN)."""
+    axis_name = collectives.resolve_axes(mesh, axis_name)
     fn = jax.shard_map(
         lambda xs: jax.lax.psum(jnp.sum(xs, axis=-1), axis_name),
         mesh=mesh, in_specs=P(axis_name), out_specs=P())
@@ -212,7 +227,7 @@ def sharded_sum(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp"):
 
 
 def sharded_statistics(x: jnp.ndarray, mesh: Mesh,
-                       axis_name: str = "dsp",
+                       axis_name=None,
                        is_complex: Optional[bool] = None):
     """Statistics over a time-sharded signal.
 
@@ -221,10 +236,11 @@ def sharded_statistics(x: jnp.ndarray, mesh: Mesh,
     ``psum``, min/max (+ global index) via ``pmin``/``pmax`` on
     (key, global_index) pairs.
     """
+    axis_name = collectives.resolve_axes(mesh, axis_name)
     if is_complex is None:
         is_complex = bool(jnp.iscomplexobj(x))
     n = x.shape[-1]
-    d = mesh.devices.size
+    d = collectives.mesh_size(mesh, axis_name)
     if n % d != 0:
         raise ValueError(f"signal length {n} not divisible by mesh size {d}; sharded entry "
             f"points require n % n_devices == 0 — pad with zero_pad or pick "
@@ -232,7 +248,7 @@ def sharded_statistics(x: jnp.ndarray, mesh: Mesh,
     ln = n // d
 
     def body(xs):
-        i = jax.lax.axis_index(axis_name)
+        i = collectives.flat_index(axis_name)
         base = i * ln
         s = jax.lax.psum(jnp.sum(xs), axis_name)
         sq = jax.lax.psum(jnp.sum(xs * xs), axis_name)

@@ -99,7 +99,7 @@ _TWIDDLE_CACHE: dict = {}
 _FN_CACHE: dict = {}
 
 
-def _twiddle_for(n: int, n1: int, n2: int, mesh: Mesh, axis_name: str,
+def _twiddle_for(n: int, n1: int, n2: int, mesh: Mesh, axis_name,
                  dtype) -> jnp.ndarray:
     """Precomputed four-step twiddle W[j2, k1] = exp(-2πi·k1·j2/n), built
     ONCE on the host in numpy and device_put sharded over j2 (FFTW-style
@@ -153,7 +153,7 @@ def _local_fourstep(xl, twl, n1, n2, d, axis_name, natural_order):
 
 
 def _twiddle_planes_for(n: int, n1: int, n2: int, mesh: Mesh,
-                        axis_name: str, rdtype_name: str):
+                        axis_name, rdtype_name: str):
     """Planar (cos, sin) twiddle planes, host-built and device_put
     sharded — the complex-free analog of :func:`_twiddle_for`."""
     import numpy as np
@@ -172,7 +172,7 @@ def _twiddle_planes_for(n: int, n1: int, n2: int, mesh: Mesh,
     return tw
 
 
-def sharded_fft(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp",
+def sharded_fft(x: jnp.ndarray, mesh: Mesh, axis_name=None,
                 natural_order: bool = True) -> jnp.ndarray:
     """Distributed unscaled DFT of a time-sharded signal (explicit
     shard_map; comm-volume model in the module docstring).
@@ -187,8 +187,10 @@ def sharded_fft(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp",
     (k1, k2) is spectrum bin ``k1 + n1*k2``.  That skips the third
     all_to_all for pipelines that can consume the transposed layout
     (e.g. magnitude reductions)."""
+    from . import collectives
+    axis_name = collectives.resolve_axes(mesh, axis_name)
     n = x.shape[-1]
-    d = mesh.devices.size
+    d = collectives.mesh_size(mesh, axis_name)
     n1, n2 = _factors_for_mesh(n, d)
     # Twiddle dtype must be the COMPLEX result type: astype(x.dtype) for
     # a real input would silently truncate the imaginary part (numpy only
@@ -225,7 +227,7 @@ def sharded_fft(x: jnp.ndarray, mesh: Mesh, axis_name: str = "dsp",
 
 
 def sharded_fft_planar(xr: jnp.ndarray, xi: jnp.ndarray, mesh: Mesh,
-                       axis_name: str = "dsp",
+                       axis_name=None,
                        natural_order: bool = True):
     """:func:`sharded_fft` with a PLANAR (re, im) program boundary.
 
@@ -236,8 +238,10 @@ def sharded_fft_planar(xr: jnp.ndarray, xi: jnp.ndarray, mesh: Mesh,
     inside the traced shard_map.  Same collectives, comm model and
     divisibility contract as :func:`sharded_fft`.
     """
+    from . import collectives
+    axis_name = collectives.resolve_axes(mesh, axis_name)
     n = xr.shape[-1]
-    d = mesh.devices.size
+    d = collectives.mesh_size(mesh, axis_name)
     n1, n2 = _factors_for_mesh(n, d)
     from .. import _planar
     cdtype = _planar.complex_dtype_for(xr.dtype)

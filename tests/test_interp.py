@@ -430,3 +430,57 @@ def test_interpolatef_complex_fun_matches_gather():
     oracle = interp_ops._interpolatef_gather(x, fun, float(factor), 0.0, L,
                                              factor * n)
     assert_vector_eq(np.asarray(out), np.asarray(oracle), tol=1e-5)
+
+
+def test_interpolatef_audio_rate_rational_no_gather():
+    """44.1 kHz -> 48 kHz (P/Q = 160/147, the flagship audio case) must
+    ride the banded-matmul fast path — no slow-path warning, any length
+    (no Q | n requirement) — and match an exact-rational f64 oracle
+    (reference semantics interpolation.rs:92-131; VERDICT r3 #6).  The
+    f32 GATHER path itself drifts at large output indices (f32 ulp of
+    the center position ~0.004 at i~40k), so the oracle is the exact
+    integer phase decomposition evaluated in f64."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from basic_dsp_tpu.conv_types import SincFunction
+    from basic_dsp_tpu.ops import interp_ops
+
+    rng = np.random.default_rng(44)
+    P, Q, L, delay = 160, 147, 10, 0.25
+    factor = 160.0 / 147.0
+    for n in (147 * 300 + 13, 2048):  # NOT divisible by 147
+        x = rng.normal(size=n).astype(np.float32)
+        interp_ops._gather_warned[0] = False
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            got = np.asarray(interp_ops.interpolatef(
+                jnp.asarray(x), SincFunction(), factor, delay, L, 1.0))
+        assert not any("gather path" in str(w.message) for w in rec)
+        # f64 exact-rational oracle
+        x64 = np.float64(x)
+        new_points = got.shape[-1]
+        i = np.arange(new_points)
+        k, p = i // P, i % P
+        base = k * Q + (p * Q) // P
+        frac = ((p * Q) % P) / P
+        t = np.arange(2 * L + 1)
+        args = t[None, :] - L - frac[:, None] + delay
+        w = np.asarray(jax.device_get(SincFunction().calc(
+            jnp.asarray(np.float64(args)))))
+        idx = (base[:, None] + t[None, :] - L) % n
+        want = (x64[idx] * np.float64(w)).sum(-1)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-5, n
+    # complex input rides the same path
+    z = (rng.normal(size=2048) + 1j * rng.normal(size=2048)
+         ).astype(np.complex64)
+    interp_ops._gather_warned[0] = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        gz = interp_ops.interpolatef(jnp.asarray(z), SincFunction(),
+                                     factor, 0.0, L, 1.0)
+    assert not any("gather path" in str(w.message) for w in rec)
+    assert np.asarray(gz).shape[-1] == int(round(2 * 2048 * factor)) // 2
