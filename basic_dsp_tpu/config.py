@@ -58,6 +58,18 @@ class DspConfig:
     # 3.5e-7); gated per-geometry by spectrum_pallas.supported, and
     # non-TPU backends keep the XLA path (Mosaic targets TPU).
     use_pallas_spectrum: bool = None  # None = auto (on iff TPU backend)
+    # VMEM-resident Pallas banded resampler (kernels/resample_pallas.py):
+    # removes the lane-misaligned circular-extension relayout and the
+    # windows materialization that cost the XLA path ~2.4x its compute
+    # floor (probe_interp4.py).  Dots run 3-pass bf16 hi/lo (~1e-6, the
+    # reference's own f32 FMA grade); falls back to the XLA banded path
+    # on any kernel compile failure.
+    use_pallas_resample: bool = None  # None = auto (on iff TPU backend)
+
+    def pallas_resample_enabled(self) -> bool:
+        if self.use_pallas_resample is not None:
+            return self.use_pallas_resample
+        return _is_tpu_backend()
 
     def pallas_spectrum_enabled(self) -> bool:
         if self.use_pallas_spectrum is not None:

@@ -232,6 +232,16 @@ def _interpolatef_direct(x, taps, P, Q, offs, L, out_len, c: int = 128):
         im = _interpolatef_direct(jnp.imag(x), taps, P, Q, offs, L,
                                   out_len, c)
         return jax.lax.complex(re, im)
+    # TPU fast path: the VMEM-resident Pallas kernel removes the
+    # lane-misaligned extension relayout + windows materialization that
+    # cost this XLA path ~2.4x its compute floor (probe_interp4.py;
+    # kernels/resample_pallas.py docstring has the full accounting).
+    if (x.ndim == 1 and x.dtype == jnp.float32
+            and config.default_config().pallas_resample_enabled()):
+        from ..kernels import resample_pallas as _rsp
+        if _rsp.supported(P, Q, L, c, n) and _rsp.runtime_ok():
+            return _rsp.resample_direct_pallas(x, taps, P, Q, tuple(offs),
+                                               L, out_len, c)
     B = c * P
     span = c * Q
     W = _band_W(P, Q, L, c)

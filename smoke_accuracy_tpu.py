@@ -62,6 +62,9 @@ check("big denominator 64/63 (gate fallback)", 64/63, 63*16)
 check("delay=0.25 rational 1.5x", 1.5, 300, delay=0.25)
 check("fractional 0.77x (gather path)", 0.77, 300)
 check("irrational-ish 1.333333x", 4/3, 300)
+# n >= resample_pallas.MIN_N: exercises the VMEM Pallas banded resampler
+# (3-pass bf16 hi/lo dots, ~1e-5 rel — reference f32 FMA grade).
+check("rational 1.5x real 64k (pallas kernel)", 1.5, 1 << 16, cplx=False)
 print("ALL OK" if fails == 0 else f"{fails} FAILURES")
 
 # toeplitz convolve_signal accuracy on TPU (was bf16-grade before the fix)
