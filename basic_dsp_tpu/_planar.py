@@ -37,6 +37,15 @@ def complex_dtype_for(*dtypes):
     x64_rewriter.cc — measured 2026-08-19 via the f64 C-ABI facade)."""
     cd = jnp.result_type(*dtypes, jnp.complex64)
     if cd == jnp.dtype(jnp.complex128) and not _has_native_f64():
+        from . import config
+        if config.default_config().strict_f64:
+            raise FloatingPointError(
+                "strict_f64: a complex128 computation was requested on a "
+                "backend without native f64 — it would silently compute "
+                "at f32 grade (docs/API.md accuracy grades). Run this op "
+                "on CPU, use the *_prec reductions (device double-float, "
+                "f64-grade on any backend), or unset "
+                "DspConfig.strict_f64.")
         return jnp.dtype(jnp.complex64)
     return cd
 

@@ -65,6 +65,14 @@ class DspConfig:
     # reference's own f32 FMA grade); falls back to the XLA banded path
     # on any kernel compile failure.
     use_pallas_resample: bool = None  # None = auto (on iff TPU backend)
+    # f64 accuracy contract enforcement (VERDICT r3 #8; reference
+    # contract vector_types/mod.rs:121-123).  False (default): f64
+    # flavors on no-f64 backends compute at f32 grade with a one-time
+    # warning (docs/API.md accuracy grades).  True: any op that would
+    # silently degrade f64 to f32 grade raises FloatingPointError
+    # instead — f64 work must run on CPU or through the *_prec
+    # device double-float reductions (which meet f64 grade anywhere).
+    strict_f64: bool = False
 
     def pallas_resample_enabled(self) -> bool:
         if self.use_pallas_resample is not None:
@@ -164,6 +172,12 @@ def warn_if_no_native_f64() -> None:
     except Exception:
         return
     if platform == "tpu":
+        if default_config().strict_f64:
+            raise FloatingPointError(
+                "strict_f64: x64 flavors requested on a TPU backend "
+                "(no native f64) — elementwise/FFT f64 would compute at "
+                "f32 grade. Run f64 work on CPU or use the *_prec "
+                "reductions; or unset DspConfig.strict_f64.")
         _f64_warned[0] = True
         import warnings
         warnings.warn(

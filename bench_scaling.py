@@ -1,24 +1,45 @@
 """Scaling-efficiency harness (BASELINE.md target: >=85% samples/s
-efficiency 1 chip -> N) over the three sharded workloads: overlap-save
-convolution, the polyphase channelizer, and the distributed four-step FFT.
+efficiency 1 chip -> N) over the four sharded workloads: overlap-save
+convolution, the polyphase channelizer, the distributed four-step FFT,
+and the sharded resampler.
 
-Records both sweeps:
+Round-4 rework (VERDICT r3 #5) — three additions over the r3 harness:
 
-* **strong scaling** — fixed total problem, mesh sizes 1..N;
-* **weak scaling** — fixed per-device work, total grows with the mesh
-  (the correctness-side proxy on the virtual CPU mesh, where per-device
-  compute time is meaningful but ICI is simulated shared memory).
+1. **Per-phase timers.**  Each halo workload also times a comm-only
+   shard_map microbench (the same halo ppermute volumes, trivial local
+   compute) and reports ``comm_ms`` next to the full op; the FFT times
+   one all_to_all of its per-device volume (x3 in the model — the
+   transpose algorithm does three).  local ~= full - comm.
+2. **Honest efficiency denominators.**  The virtual CPU mesh runs on
+   ``os.cpu_count()`` physical cores, and XLA's CPU backend already
+   parallelizes SINGLE-device programs across all cores (intra-op
+   threading) — so the d=1 "baseline" uses every core and strong-scaling
+   efficiency vs d=1 is structurally pessimistic; points with
+   d > cpu_count are additionally oversubscribed.  Both facts are now
+   flagged per point (``oversubscribed``) and the headline efficiency is
+   computed over d <= cpu_count only, with the d=1 intra-op caveat
+   recorded in the artifact.
+3. **ICI projection model.**  What the >=85% target actually depends on
+   is comm/compute ratio on real hardware.  Per workload the artifact
+   carries an analytic per-device ICI byte count and a projected strong
+   efficiency at ``ICI_GBPS`` (v5e: ~45 GB/s per link direction,
+   scaling-book numbers): eff_proj = t_local / (t_local + t_comm_proj)
+   where t_local = measured_full/d ideal-scaled local compute.  The CPU
+   numbers validate CORRECTNESS of the sharded programs; the projection
+   is the performance claim.
 
-On this environment it runs the 8-device virtual CPU mesh (functional
-proxy); on a real pod slice the same script measures ICI scaling.  Prints
-one JSON line per point; ``--out FILE`` also writes the whole record
-(SCALING_r02.json is the committed artifact).
+Prints one JSON line per point; ``--out FILE`` writes the whole record
+(SCALING_r{N}.json is the committed artifact).
 """
 import argparse
+import functools
 import json
+import os
 import time
 
 import numpy as np
+
+ICI_GBPS = 45.0  # v5e per-link one-way (halo rides one link each way)
 
 
 def _mk_signal(n, seed=0):
@@ -28,13 +49,63 @@ def _mk_signal(n, seed=0):
                        .astype(np.complex64))
 
 
-def _timeit(fn, iters=5):
+def _timeit(fn, iters=5, attempts=3):
+    """Median over ``attempts`` of the per-iteration mean of ``iters``
+    calls (the r3 single-attempt number swung with CPU thread-pool state
+    enough to produce the non-monotone artifact)."""
     fn()  # warm (compile)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    np.asarray(out)
-    return (time.perf_counter() - t0) / iters
+    meds = []
+    for _ in range(attempts):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        np.asarray(out)
+        meds.append((time.perf_counter() - t0) / iters)
+    return sorted(meds)[len(meds) // 2]
+
+
+def _halo_comm_fn(mesh, ln, halo_l, halo_r, dtype):
+    """Comm-only microbench: the same ring halo volumes as the real op,
+    trivial local compute."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from basic_dsp_tpu.parallel import collectives
+
+    axes = collectives.mesh_axes(mesh)
+    spec = P(axes)
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=spec,
+                       out_specs=spec)
+    def f(x):
+        lh = collectives.shift_from_left(x[..., -max(halo_l, 1):], axes)
+        rh = collectives.shift_from_right(x[..., :max(halo_r, 1)], axes)
+        mid = x[..., max(halo_l, 1) + max(halo_r, 1):]
+        return jnp.concatenate([lh, mid, rh], axis=-1)
+
+    return f
+
+
+def _a2a_comm_fn(mesh, ln):
+    """One tiled all_to_all of the per-device FFT volume (the transpose
+    FFT does three of these; the model multiplies)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from basic_dsp_tpu.parallel import collectives
+
+    axes = collectives.mesh_axes(mesh)
+    d = mesh.size
+    spec = P(None, axes)
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=spec,
+                       out_specs=spec)
+    def f(x2):  # x2 local: (d, ln/d)
+        return jax.lax.all_to_all(x2, axes, 0, 0, tiled=True) \
+            .reshape(x2.shape)
+
+    return f
 
 
 def main():
@@ -54,85 +125,131 @@ def main():
 
     from basic_dsp_tpu.parallel import (channelizer, sharded_fft,
                                         sharded_convolve_signal,
+                                        sharded_interpolatef,
                                         shard_time_axis)
+    from basic_dsp_tpu.conv_types import SincFunction
 
     devices = jax.devices()
     max_d = len(devices)
+    ncores = os.cpu_count() or 1
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= max_d]
     record = {"device_kind": getattr(devices[0], "device_kind",
                                      devices[0].platform),
-              "n_devices": max_d, "workloads": {}}
+              "n_devices": max_d, "physical_cores": ncores,
+              "ici_gbps_model": ICI_GBPS,
+              "caveats": [
+                  "d=1 baseline uses ALL cores via XLA CPU intra-op "
+                  "threading: strong efficiency vs d=1 is structurally "
+                  "pessimistic on this proxy",
+                  f"points with devices > {ncores} are oversubscribed",
+              ],
+              "workloads": {}}
 
     C = 64
     proto_t = 8
+    h = _mk_signal(63, seed=1)
+    proto = jnp.asarray(np.hamming(C * proto_t).astype(np.float32) / C)
 
-    def conv_run(x, h, mesh):
+    def conv_run(x, mesh):
         return sharded_convolve_signal(shard_time_axis(x, mesh), h, mesh)
 
-    def chan_run(x, proto, mesh):
+    def chan_run(x, mesh):
         return channelizer.sharded_channelize_and_demod(x, proto, C, mesh)
 
     def fft_run(x, mesh):
         return sharded_fft.sharded_fft(x, mesh)
 
     def interp_run(x, mesh):
-        from basic_dsp_tpu.conv_types import SincFunction
-        from basic_dsp_tpu.parallel import sharded_interpolatef
         return sharded_interpolatef(shard_time_axis(x, mesh),
                                     SincFunction(), 1.5, 0.0, 10, mesh)
 
-    h = _mk_signal(63, seed=1)
-    proto = jnp.asarray(np.hamming(C * proto_t).astype(np.float32) / C)
-
+    # (run, comm_kind, per-device ICI bytes fn(n, d) one direction)
+    # Halo volumes: conv m_eff-1 = 62 c64 samples split l/r; interp
+    # L + (W - L); channelizer C*proto_t lookback.
     workloads = {
-        "sharded_conv": lambda n, mesh: (
-            lambda x=_mk_signal(n): (lambda: conv_run(x, h, mesh))),
-        "channelizer": lambda n, mesh: (
-            lambda x=_mk_signal(n): (lambda: chan_run(x, proto, mesh))),
-        "sharded_fft": lambda n, mesh: (
-            lambda x=_mk_signal(n): (lambda: fft_run(x, mesh))),
-        "sharded_interpolatef": lambda n, mesh: (
-            lambda x=_mk_signal(n): (lambda: interp_run(x, mesh))),
+        "sharded_conv": (conv_run, "halo",
+                         lambda n, d: 62 * 8),
+        "channelizer": (chan_run, "halo",
+                        lambda n, d: C * proto_t * 8),
+        "sharded_fft": (fft_run, "a2a",
+                        lambda n, d: 3 * (n // d) * 8 * (d - 1) / d),
+        "sharded_interpolatef": (interp_run, "halo",
+                                 lambda n, d: (10 + 384) * 8),
     }
 
     N_STRONG = 1 << 20
     N_PER_DEV = 1 << 17
 
-    for name, make in workloads.items():
+    for name, (run, comm_kind, ici_bytes) in workloads.items():
         entry = {"strong": [], "weak": []}
         for d in sizes:
             mesh = Mesh(np.array(devices[:d]), ("dsp",))
-            # strong: fixed total
-            dt = _timeit(make(N_STRONG, mesh)(), iters=args.iters)
+            x = _mk_signal(N_STRONG)
+            dt = _timeit(lambda: run(x, mesh), iters=args.iters)
+            # comm-only microbench on the same mesh/volumes
+            ln = N_STRONG // d
+            if d == 1:
+                dt_comm = 0.0
+            elif comm_kind == "halo":
+                f = _halo_comm_fn(mesh, ln, 62, 62, np.complex64)
+                xs = shard_time_axis(x, mesh)
+                dt_comm = _timeit(lambda: f(xs), iters=args.iters)
+            else:
+                f = _a2a_comm_fn(mesh, ln)
+                x2 = jax.device_put(
+                    jnp.zeros((d, N_STRONG // d), jnp.complex64),
+                    jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec(None, "dsp")))
+                dt_comm = 3 * _timeit(lambda: f(x2), iters=args.iters)
             msps = N_STRONG / dt / 1e6
-            entry["strong"].append({"devices": d, "ms": round(dt * 1e3, 3),
-                                    "msamples_per_s": round(msps, 1)})
+            point = {"devices": d, "ms": round(dt * 1e3, 3),
+                     "comm_ms": round(dt_comm * 1e3, 3),
+                     "msamples_per_s": round(msps, 1),
+                     "oversubscribed": d > ncores}
+            entry["strong"].append(point)
             print(json.dumps({"metric": f"{name}_strong_{d}dev",
                               "value": round(msps, 1),
-                              "unit": "Msamples/s"}), flush=True)
+                              "unit": "Msamples/s",
+                              "comm_ms": point["comm_ms"]}), flush=True)
             # weak: fixed per-device
             n_w = N_PER_DEV * d
-            dt_w = _timeit(make(n_w, mesh)(), iters=args.iters)
+            xw = _mk_signal(n_w)
+            dt_w = _timeit(lambda: run(xw, mesh), iters=args.iters)
             entry["weak"].append({"devices": d, "n": n_w,
                                   "ms": round(dt_w * 1e3, 3),
                                   "msamples_per_s": round(n_w / dt_w / 1e6,
-                                                          1)})
+                                                          1),
+                                  "oversubscribed": d > ncores})
             print(json.dumps({"metric": f"{name}_weak_{d}dev",
                               "value": round(dt_w * 1e3, 3), "unit": "ms"}),
                   flush=True)
-        base = entry["strong"][0]["msamples_per_s"]
-        top = entry["strong"][-1]
-        entry["strong_efficiency"] = round(
+        # Headline efficiencies over physically-backed points only.
+        phys = [p for p in entry["strong"] if not p["oversubscribed"]]
+        base = phys[0]["msamples_per_s"]
+        top = phys[-1]
+        entry["strong_efficiency_phys"] = round(
             top["msamples_per_s"] / (base * top["devices"]), 3)
-        wt0 = entry["weak"][0]["ms"]
-        entry["weak_efficiency"] = round(wt0 / entry["weak"][-1]["ms"], 3)
+        wphys = [p for p in entry["weak"] if not p["oversubscribed"]]
+        entry["weak_efficiency_phys"] = round(
+            wphys[0]["ms"] / wphys[-1]["ms"], 3)
+        # ICI projection: ideal local compute (t1/d) + modeled link time.
+        t1 = entry["strong"][0]["ms"]
+        proj = []
+        for d in sizes[1:]:
+            t_local = t1 / d
+            t_comm = ici_bytes(N_STRONG, d) / (ICI_GBPS * 1e9) * 1e3
+            proj.append({"devices": d,
+                         "ici_bytes_per_dev": int(ici_bytes(N_STRONG, d)),
+                         "projected_efficiency": round(
+                             t_local / (t_local + t_comm), 4)})
+        entry["ici_projection"] = proj
         record["workloads"][name] = entry
-        print(json.dumps({"metric": f"{name}_strong_efficiency",
-                          "value": entry["strong_efficiency"],
-                          "unit": "ratio"}), flush=True)
-        print(json.dumps({"metric": f"{name}_weak_efficiency",
-                          "value": entry["weak_efficiency"],
-                          "unit": "ratio"}), flush=True)
+        print(json.dumps({"metric": f"{name}_strong_efficiency_phys",
+                          "value": entry["strong_efficiency_phys"],
+                          "unit": "ratio",
+                          "projected_8dev": proj[-1][
+                              "projected_efficiency"] if proj else 1.0}),
+              flush=True)
 
     if args.out:
         with open(args.out, "w") as f:

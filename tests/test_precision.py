@@ -159,3 +159,46 @@ def test_setitem_int_index_single_program():
     assert gz[3] == 1 + 2j and gz[5] == 4 - 1j
     with pytest.raises(IndexError):
         v[64] = 0.0
+
+
+@pytest.mark.requires_x64
+def test_strict_f64_native_backend_full_grade():
+    """VERDICT r3 #8: under strict_f64 a c128 FFT either computes at true
+    f64 grade or raises.  On a native-f64 backend (CPU) it must MATCH
+    numpy to 1e-12 (reference contract vector_types/mod.rs:121-123)."""
+    import dataclasses
+
+    cfg0 = config.default_config()
+    config.set_default_config(dataclasses.replace(cfg0, strict_f64=True))
+    try:
+        rng = np.random.default_rng(3)
+        z = (rng.normal(size=256) + 1j * rng.normal(size=256))
+        v = bd.to_complex_time_vec(z.astype(np.complex128))
+        got = v.plain_fft().to_numpy()
+        want = np.fft.fft(z)
+        assert got.dtype == np.complex128
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+    finally:
+        config.set_default_config(cfg0)
+
+
+@pytest.mark.requires_x64
+def test_strict_f64_raises_on_degrading_backend(monkeypatch):
+    """On a no-f64 backend the same op must raise loudly, never silently
+    compute f32-grade (simulated by forcing the native-f64 probe)."""
+    import dataclasses
+
+    from basic_dsp_tpu import _planar
+
+    monkeypatch.setattr(_planar, "_native_f64", False)
+    cfg0 = config.default_config()
+    config.set_default_config(dataclasses.replace(cfg0, strict_f64=True))
+    try:
+        with pytest.raises(FloatingPointError, match="strict_f64"):
+            _planar.complex_dtype_for(np.float64)
+        with pytest.raises(FloatingPointError, match="strict_f64"):
+            bd.to_complex_time_vec(np.zeros(64, np.complex128))
+    finally:
+        config.set_default_config(cfg0)
+    # default (non-strict) config: same backend degrades with the cap
+    assert _planar.complex_dtype_for(np.float64) == jnp.dtype(np.complex64)
