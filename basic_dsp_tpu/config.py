@@ -65,6 +65,13 @@ class DspConfig:
     # reference's own f32 FMA grade); falls back to the XLA banded path
     # on any kernel compile failure.
     use_pallas_resample: bool = None  # None = auto (on iff TPU backend)
+    # Pallas channelizer+FM-demod megakernel (kernels/channelizer_pallas
+    # .py): keeps a tile of time rows VMEM-resident through polyphase
+    # FIR -> factored channel IDFT -> conj demod, removing the per-stage
+    # HBM round-trips of the XLA pipeline (~56 B/sample).  Gated
+    # per-geometry by channelizer_pallas.supported; falls back to the
+    # XLA pipeline on any kernel compile failure.
+    use_pallas_channelizer: bool = None  # None = auto (on iff TPU)
     # f64 accuracy contract enforcement (VERDICT r3 #8; reference
     # contract vector_types/mod.rs:121-123).  False (default): f64
     # flavors on no-f64 backends compute at f32 grade with a one-time
@@ -82,6 +89,11 @@ class DspConfig:
     def pallas_spectrum_enabled(self) -> bool:
         if self.use_pallas_spectrum is not None:
             return self.use_pallas_spectrum
+        return _is_tpu_backend()
+
+    def pallas_channelizer_enabled(self) -> bool:
+        if self.use_pallas_channelizer is not None:
+            return self.use_pallas_channelizer
         return _is_tpu_backend()
 
     def pallas_overlap_save_enabled(self) -> bool:

@@ -138,6 +138,16 @@ def _idft_eligible(C: int) -> bool:
     return _is_tpu_backend()
 
 
+def _pallas_chan_eligible(C: int, S: int, taps_per_phase: int) -> bool:
+    """Gate for the fused Pallas channelizer+demod megakernel: config
+    flag (auto-iff-TPU), geometry support, and a once-per-process probe
+    compile (Mosaic failures only surface at the outer jit's compile)."""
+    if not config.default_config().pallas_channelizer_enabled():
+        return False
+    from ..kernels import channelizer_pallas as ckp
+    return ckp.supported(C, S, taps_per_phase) and ckp.runtime_ok()
+
+
 def _polyphase_fir_planes(ext: jnp.ndarray, taps_merged: jnp.ndarray,
                           s_out: int):
     """Shared filterbank FIR front-end: depthwise VALID conv over the row
@@ -258,6 +268,16 @@ def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
     profile_chan2.log), the demod runs on the planes, and the factored
     (c1, c2) interleave folds into this existing final transpose."""
     C = n_channels
+    n = x.shape[-1]
+    if _pallas_chan_eligible(C, n // C, prototype.shape[-1] // C):
+        from ..kernels import channelizer_pallas as ckp
+        taps_merged = _merged_tap_rows(prototype, C)
+        ang = ckp.channelize_demod_pallas(
+            jnp.real(x), jnp.imag(x), taps_merged, C)
+        n1 = C // 128
+        S = n // C
+        # channel c = c1 + n1*c2 == flat (c2, c1): ONE f32 transpose.
+        return ang.reshape(S, n1, 128).transpose(2, 1, 0).reshape(C, S)
     if _idft_eligible(C):
         taps_merged = _merged_tap_rows(prototype, C)
         t = taps_merged.shape[0] - 1
