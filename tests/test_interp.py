@@ -484,3 +484,28 @@ def test_interpolatef_audio_rate_rational_no_gather():
                                      factor, 0.0, L, 1.0)
     assert not any("gather path" in str(w.message) for w in rec)
     assert np.asarray(gz).shape[-1] == int(round(2 * 2048 * factor)) // 2
+
+
+def test_fail_on_slow_path_raises(monkeypatch):
+    """DspConfig.fail_on_slow_path: the gather fallback raises
+    PerformanceError instead of warn-and-crawl (VERDICT r3 weak #6)."""
+    import dataclasses
+    from basic_dsp_tpu import config
+    from basic_dsp_tpu.errors import PerformanceError
+    from basic_dsp_tpu.conv_types import SincFunction
+
+    import jax.numpy as jnp
+    from basic_dsp_tpu.ops import interp_ops
+
+    cfg = dataclasses.replace(config.default_config(),
+                              fail_on_slow_path=True)
+    monkeypatch.setattr(config, "_default_config", cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=1 << 17)
+                    .astype(np.float32))
+    with pytest.raises(PerformanceError):
+        interp_ops.interpolatef(x, SincFunction(), 3.14159, 0.0, 10, 1.0)
+    # Small calls (below the warn threshold) stay allowed: the guard is
+    # about production-size stalls, not semantics.
+    out = interp_ops.interpolatef(x[:4096], SincFunction(), 3.14159,
+                                  0.0, 10, 1.0)
+    assert out.shape[-1] == round(4096 * 3.14159)
