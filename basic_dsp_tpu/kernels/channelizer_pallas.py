@@ -61,6 +61,31 @@ def supported(C: int, S: int, taps_per_phase: int,
             and tile_rows % HALO_ROWS == 0)
 
 
+def _atan2f(y, x):
+    """f32 atan2 from Mosaic-supported primitives (no atan2 lowering in
+    Pallas TPU).  Cephes atanf scheme: fold |y|/|x| into [0, 1] by
+    octant swap, tan(pi/8) reduction, 4-term odd polynomial — ~1e-7
+    absolute angle error, the same grade as XLA's f32 atan2.  Signed
+    zero at the pi branch differs (returns +pi for atan2(-0, -1)) —
+    the same point on the circle."""
+    ay = jnp.abs(y)
+    ax = jnp.abs(x)
+    hi = jnp.maximum(ay, ax)
+    lo = jnp.minimum(ay, ax)
+    t = lo / jnp.where(hi == 0.0, 1.0, hi)            # [0, 1]
+    big = t > 0.4142135623730950                       # tan(pi/8)
+    t2 = jnp.where(big, (t - 1.0) / (t + 1.0), t)
+    z = t2 * t2
+    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+         + 1.99777106478e-1) * z - 3.33329491539e-1
+    r = t2 + t2 * z * p
+    r = jnp.where(big, r + 0.7853981633974483, r)
+    r = jnp.where(ay > ax, 1.5707963267948966 - r, r)  # un-swap octant
+    r = jnp.where(x < 0.0, math.pi - r, r)
+    r = jnp.where(hi == 0.0, 0.0, r)                   # atan2(0, 0) = 0
+    return jnp.where(y < 0.0, -r, r)
+
+
 def _dot3(x, mh, ml):
     """3-pass bf16 hi/lo f32 dot against a pre-split constant pair."""
     xh = x.astype(jnp.bfloat16)
@@ -101,21 +126,23 @@ def _ifft_blocks(br, bi):
     return out_r, out_i
 
 
-def _chan_kernel(hr_ref, hi_ref, mr_ref, mi_ref, w_ref,
+def _chan_kernel(hr_ref, hi_ref, mr_ref, mi_ref, w_ref, g_ref,
                  tr_ref, ti_ref,
                  frh_ref, frl_ref, fmh_ref, fml_ref, fph_ref, fpl_ref,
                  *out_refs, n1, tp1, R, demod):
     """One grid step: (R+16) signal rows -> (R, C) demod angles (or the
     (zr, zi) conj-product planes when ``demod`` is False — the atan2
     then runs outside)."""
-    i = pl.program_id(0)
     H = HALO_ROWS
-    halo_r = hr_ref[...]
-    halo_i = hi_ref[...]
     # Tile 0's halo block is index-clamped garbage; the true prefix is
-    # zero (the channelizer's zero causal look-back).
-    halo_r = jnp.where(i == 0, jnp.zeros_like(halo_r), halo_r)
-    halo_i = jnp.where(i == 0, jnp.zeros_like(halo_i), halo_i)
+    # zero (the channelizer's zero causal look-back).  g_ref streams a
+    # per-tile (8, C) gate block (0 on tile 0, 1 after; 8 rows for the
+    # Mosaic sublane rule) — NOT pl.program_id, which has no eager-eval
+    # rule and would break the once-per-process ensure_compile_time_eval
+    # probe (runtime_ok).
+    g = g_ref[0:1]                                    # (1, C)
+    halo_r = hr_ref[...] * g
+    halo_i = hi_ref[...] * g
     er = jnp.concatenate([halo_r, mr_ref[...]], axis=0)   # (R+H, C)
     ei = jnp.concatenate([halo_i, mi_ref[...]], axis=0)
     # Polyphase FIR: u_j = sum_k E[j+k] * w[k], j = 0..R (row j is
@@ -157,7 +184,7 @@ def _chan_kernel(hr_ref, hi_ref, mr_ref, mi_ref, w_ref,
     zr = cur_r * pr + cur_i * pi_
     zi = cur_i * pr - cur_r * pi_
     if demod:
-        out_refs[0][...] = jnp.arctan2(zi, zr)
+        out_refs[0][...] = _atan2f(zi, zr)
     else:
         out_refs[0][...] = zr
         out_refs[1][...] = zi
@@ -208,6 +235,12 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
         memory_space=pltpu.VMEM)
     main_spec = pl.BlockSpec((R, C), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    # (8, C) blocks: Mosaic requires the sublane dim divisible by 8.
+    gate_spec = pl.BlockSpec((8, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    gate = jnp.concatenate(
+        [jnp.zeros((8, C), jnp.float32),
+         jnp.ones((8 * (tiles - 1), C), jnp.float32)], axis=0)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -222,7 +255,7 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
         grid=(tiles,),
         in_specs=[
             halo_spec, halo_spec, main_spec, main_spec,
-            const_spec((H, C)),
+            const_spec((H, C)), gate_spec,
             const_spec((n1, LANES)), const_spec((n1, LANES)),
             const_spec((LANES, LANES)), const_spec((LANES, LANES)),
             const_spec((LANES, LANES)), const_spec((LANES, LANES)),
@@ -232,7 +265,7 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
         out_shape=out_sd if demod else (out_sd, out_sd),
         compiler_params=params,
         interpret=interpret,
-    )(X_r, X_i, X_r, X_i, w,
+    )(X_r, X_i, X_r, X_i, w, gate,
       jnp.asarray(Tr), jnp.asarray(Ti),
       frh, frl, fmh, fml, fph, fpl)
     return out
@@ -246,12 +279,19 @@ _RUNTIME_OK = [None]
 def runtime_ok() -> bool:
     if _RUNTIME_OK[0] is None:
         try:
+            C = 256
+            S = 2 * DEFAULT_TILE_ROWS
+            # ensure_compile_time_eval: the dispatch usually runs INSIDE
+            # a user trace, where every jnp op returns a tracer; the
+            # probe must execute EAGERLY to compile now (the kernel body
+            # is program_id-free on purpose — see _chan_kernel's gate
+            # row).  All-real ops — safe where eager complex fails.
             with jax.ensure_compile_time_eval():
-                C = 256
-                S = 2 * DEFAULT_TILE_ROWS
                 xr = jnp.zeros((S * C,), jnp.float32)
-                taps = jnp.zeros((9, C), jnp.float32).at[-1].set(1.0 / C)
-                out = channelize_demod_pallas(xr, xr, taps, C)
+                taps_np = np.zeros((9, C), np.float32)
+                taps_np[-1] = 1.0 / C
+                out = channelize_demod_pallas(xr, xr, jnp.asarray(taps_np),
+                                              C)
                 float(np.asarray(out)[0, 0])
             _RUNTIME_OK[0] = True
         except Exception as e:
