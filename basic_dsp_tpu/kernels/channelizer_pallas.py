@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-DEFAULT_TILE_ROWS = 256
+DEFAULT_TILE_ROWS = 512  # probe_chan_tile: 512 beats 128/256/1024 at 4M
 HALO_ROWS = 16           # tap-row lookback capacity (multiple of 8)
 MAX_N1 = 16
 

@@ -272,8 +272,14 @@ def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
     if _pallas_chan_eligible(C, n // C, prototype.shape[-1] // C):
         from ..kernels import channelizer_pallas as ckp
         taps_merged = _merged_tap_rows(prototype, C)
-        ang = ckp.channelize_demod_pallas(
-            jnp.real(x), jnp.imag(x), taps_merged, C)
+        # demod=False: the kernel returns the conj-product planes and the
+        # atan2 runs in XLA, fused into the output transpose — measured
+        # FASTER than the in-kernel polynomial atan2 (probe_chan_tile:
+        # 0.257 vs 0.272 ms at 4M/1024ch) because the extra HBM round
+        # trip costs less than the kernel's serialized VPU atan2.
+        zr, zi = ckp.channelize_demod_pallas(
+            jnp.real(x), jnp.imag(x), taps_merged, C, demod=False)
+        ang = jnp.arctan2(zi, zr)
         n1 = C // 128
         S = n // C
         # channel c = c1 + n1*c2 == flat (c2, c1): ONE f32 transpose.

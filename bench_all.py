@@ -29,6 +29,9 @@ import numpy as np
 
 HBM_GBPS = 819.0          # v5e
 MXU_TFLOPS_HIGHEST = 30.8  # measured, probe_mxu_peak.py
+MXU_TFLOPS_BF16 = 138.0    # measured 1-pass bf16 peak, probe_mxu_peak.py
+VPU_TOPS = 3.52            # measured f32 elementwise rate, probe_vpu_peak.py
+                           # (0.28 ps/elem-op; atan2 = ~40 elem-op equiv)
 
 
 def tunnel_probe(iters: int = 200) -> float:
@@ -174,11 +177,23 @@ def timed(fn, *args, iters=10):
     return med(r3) / (3 * iters)  # conservative upper bound
 
 
-def floor_ms(bytes_per_iter: float, flops_per_iter: float):
-    """Dual-resource per-iteration floor (ms) and which resource binds."""
+def floor_ms(bytes_per_iter: float, flops_per_iter: float,
+             mxu_tflops: float = MXU_TFLOPS_HIGHEST,
+             vpu_ops_per_iter: float = 0.0):
+    """Multi-resource per-iteration floor (ms) and which resource binds.
+
+    ``flops_per_iter`` is MXU work at ``mxu_tflops`` (default: the
+    measured precision="highest" 6-pass peak; kernels whose dots run
+    3-pass bf16 hi/lo pass the measured bf16 peak instead).
+    ``vpu_ops_per_iter`` is elementwise VPU work at the measured
+    VPU_TOPS rate — the binding resource for fused elementwise-heavy
+    kernels (e.g. the channelizer megakernel)."""
     bt = bytes_per_iter / (HBM_GBPS * 1e9) * 1e3
-    ft = flops_per_iter / (MXU_TFLOPS_HIGHEST * 1e12) * 1e3
-    return max(bt, ft), ("compute" if ft > bt else "hbm"), bt, ft
+    ft = flops_per_iter / (mxu_tflops * 1e12) * 1e3
+    vt = vpu_ops_per_iter / (VPU_TOPS * 1e12) * 1e3
+    fl = max(bt, ft, vt)
+    bound = "hbm" if fl == bt else ("compute" if fl == ft else "vpu")
+    return fl, bound, bt, ft
 
 
 def main():
@@ -206,8 +221,9 @@ def main():
     rng = np.random.default_rng(0)
     results = []
 
-    def record(name, samples, dt, bpi, fpi, note):
-        fl, bound, bt, ft = floor_ms(bpi, fpi)
+    def record(name, samples, dt, bpi, fpi, note,
+               mxu_tflops=MXU_TFLOPS_HIGHEST, vpu_opi=0.0):
+        fl, bound, bt, ft = floor_ms(bpi, fpi, mxu_tflops, vpu_opi)
         results.append({
             "metric": name,
             "value": round(samples / dt / 1e6, 2),
@@ -308,10 +324,20 @@ def main():
            "planar RC pulse shaping, composed banded matmul, P=10")
 
     # ---- Config 5: 1024-channel channelizer + FM demod over 4M. ----
-    # Depthwise polyphase FIR (8 taps/sample, VPU) + batched FFT over the
-    # channel axis + demod: HBM-bound; ~56 B/sample across the stage
-    # chain (poly r8 w8, fft r8 w8, demod r8 w8 + carry/in/out).  MXU
-    # flops negligible (FFT is a custom call, FIR is depthwise VPU).
+    # Shipped formulation depends on the dispatch:
+    # * Pallas megakernel (TPU default, kernels/channelizer_pallas.py):
+    #   one VMEM residency through FIR->IDFT->conj-demod; atan2 outside,
+    #   fused into the output transpose (probe_chan_tile).  HBM 32.5
+    #   B/sample (x 2 planes r8 + ~3% halo re-read r0.5 + carry r4 +
+    #   z-planes w8 r8 + transposed angle w4); MXU 2304 bf16-flops/
+    #   sample (outer IDFT: 3 Karatsuba dots x 3-pass hi/lo x 2*128) at
+    #   the measured bf16 peak; VPU ~129 elem-ops/sample (FIR 9
+    #   row-stencil mul+add x2 planes + ~9 sublane shifts = 54, inner
+    #   radix-2 IFFT-8 ~10, twiddle 6, Karatsuba prep 13, demod 6,
+    #   XLA atan2 ~40) at the measured 3.52 T/s — HBM binds (0.166 ms).
+    # * XLA staged pipeline (fallback): ~56 B/sample across the stage
+    #   chain (poly r8 w8, fft r8 w8, demod r8 w8 + carry/in/out),
+    #   HBM-bound.
     n5 = 1 << 22
     C = 1024
     c_re = jnp.asarray(rng.normal(size=n5).astype(np.float32))
@@ -323,8 +349,14 @@ def main():
         return channelizer.channelize_and_demod(x, p, C)
 
     dt = timed(cfg5, c_re, c_im, proto, iters=30)
-    record("channelizer_1024ch_4m", n5, dt, 56.0 * n5, 0.0,
-           "depthwise polyphase + channel-axis FFT + demod; HBM-bound")
+    from basic_dsp_tpu.parallel.channelizer import _pallas_chan_eligible
+    if _pallas_chan_eligible(C, n5 // C, 8):
+        record("channelizer_1024ch_4m", n5, dt, 32.5 * n5, 2304.0 * n5,
+               "fused Pallas megakernel + XLA atan2-transpose",
+               mxu_tflops=MXU_TFLOPS_BF16, vpu_opi=129.0 * n5)
+    else:
+        record("channelizer_1024ch_4m", n5, dt, 56.0 * n5, 0.0,
+               "depthwise polyphase + channel-axis FFT + demod; HBM-bound")
 
     # Optional: VMEM-resident Pallas overlap-save vs the XLA blocked path
     # (BDSP_BENCH_PALLAS=1; the round-3 kernel compiles and wins on axon,
