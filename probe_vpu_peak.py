@@ -50,9 +50,11 @@ def main():
     def mk_fma(k):
         def f():
             def step(_, c):
-                # 8 FMAs = 16 flops per element per iter
+                # 8 x (abs, mul, add) = 24 elem-ops per element per iter;
+                # the abs between FMAs blocks XLA from folding the
+                # constant-coefficient chain into one affine op.
                 for _ in range(8):
-                    c = c * jnp.float32(0.9999) + jnp.float32(1e-7)
+                    c = jnp.abs(c) * jnp.float32(0.9999) + jnp.float32(1e-7)
                 return c
             out = jax.lax.fori_loop(0, k, step, x0)
             return jnp.sum(out)
@@ -86,13 +88,14 @@ def main():
             return jnp.sum(out)
         return f
 
-    dt = slope(mk_fma, 30)
-    flops = 16.0 * n
+    dt = slope(mk_fma, 200)
+    ops = 24.0 * n
     print(f"fma chain : {dt*1e6:8.2f} us/iter  "
-          f"{flops/dt/1e12:6.2f} TFLOP/s f32 elementwise", flush=True)
+          f"{ops/dt/1e12:6.2f} Telem-op/s f32 "
+          f"({dt/n*1e12/24:.2f} ps/elem-op)", flush=True)
     for name, mk, per in [("div", mk_div, 1), ("atan2", mk_atan2, 1),
                           ("sqrt", mk_sqrt, 1)]:
-        dt = slope(mk, 30)
+        dt = slope(mk, 200)
         print(f"{name:9s} : {dt*1e6:8.2f} us/iter  "
               f"{per*n/dt/1e9:7.2f} Gop/s  ({dt/n*1e12:.2f} ps/elem)",
               flush=True)
