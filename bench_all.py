@@ -34,23 +34,28 @@ VPU_TOPS = 3.52            # measured f32 elementwise rate, probe_vpu_peak.py
                            # (0.28 ps/elem-op; atan2 = ~40 elem-op equiv)
 
 
-def tunnel_probe(iters: int = 200) -> float:
-    """Per-capture tunnel-health probe (VERDICT r3 #3): slope-time a tiny
-    fixed on-device loop (1k-lane elementwise chain).  Identical code
-    swings 2x with tunnel state minutes apart (STATUS r3: cfg1 measured
-    6.5 and 11.4 GS/s within 25 min); recording this number next to every
-    capture lets the merge protocol keep captures comparable and refuse
-    degraded sessions.  Returns the probe's per-iteration microseconds."""
+def tunnel_probe(iters: int = 100) -> float:
+    """Per-capture device-health probe (VERDICT r3 #3): slope-time a
+    DEVICE-THROUGHPUT-bound loop (2 MB x 8 chained elementwise ops per
+    iteration, ~1.2 us/iter at the measured VPU rate).  Identical code
+    swings 2x with device/tunnel state minutes apart (STATUS r3: cfg1
+    measured 6.5 and 11.4 GS/s within 25 min); recording this number
+    next to every capture lets the merge protocol keep captures
+    comparable and refuse degraded sessions.  (The original (8, 128)
+    body was dispatch-noise-dominated — slopes came out 0.01-2.7 us for
+    the same healthy device.)  Returns per-iteration microseconds."""
     import jax
     import jax.numpy as jnp
 
-    x = jnp.ones((8, 128), jnp.float32)
+    x = jnp.ones((512, 1024), jnp.float32)
 
     def make(k):
         @jax.jit
         def looped(v):
             def step(_, c):
-                return jnp.abs(c) * jnp.float32(0.999) + jnp.float32(1e-6)
+                for _ in range(8):
+                    c = jnp.abs(c) * jnp.float32(0.999) + jnp.float32(1e-6)
+                return c
             return jax.lax.fori_loop(0, k, step, v)
         return looped
 
