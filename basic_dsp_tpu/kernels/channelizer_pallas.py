@@ -127,6 +127,7 @@ def _ifft_blocks(br, bi):
 
 
 def _chan_kernel(hr_ref, hi_ref, mr_ref, mi_ref, w_ref, g_ref,
+                 pr_ref, pi_ref,
                  tr_ref, ti_ref,
                  frh_ref, frl_ref, fmh_ref, fml_ref, fph_ref, fpl_ref,
                  *out_refs, n1, tp1, R, demod):
@@ -134,15 +135,16 @@ def _chan_kernel(hr_ref, hi_ref, mr_ref, mi_ref, w_ref, g_ref,
     (zr, zi) conj-product planes when ``demod`` is False — the atan2
     then runs outside)."""
     H = HALO_ROWS
-    # Tile 0's halo block is index-clamped garbage; the true prefix is
-    # zero (the channelizer's zero causal look-back).  g_ref streams a
-    # per-tile (8, C) gate block (0 on tile 0, 1 after; 8 rows for the
-    # Mosaic sublane rule) — NOT pl.program_id, which has no eager-eval
-    # rule and would break the once-per-process ensure_compile_time_eval
-    # probe (runtime_ok).
+    # Tile 0's halo block is index-clamped garbage; the true look-back is
+    # the (H, C) ``prefix`` input — zeros for a whole signal (causal
+    # start), the left neighbor's last rows in the sharded path.  g_ref
+    # streams a per-tile (8, C) gate block (0 on tile 0, 1 after; 8 rows
+    # for the Mosaic sublane rule) — NOT pl.program_id, which has no
+    # eager-eval rule and would break the once-per-process
+    # ensure_compile_time_eval probe (runtime_ok).
     g = g_ref[0:1]                                    # (1, C)
-    halo_r = hr_ref[...] * g
-    halo_i = hi_ref[...] * g
+    halo_r = hr_ref[...] * g + pr_ref[...] * (1.0 - g)
+    halo_i = hi_ref[...] * g + pi_ref[...] * (1.0 - g)
     er = jnp.concatenate([halo_r, mr_ref[...]], axis=0)   # (R+H, C)
     ei = jnp.concatenate([halo_i, mi_ref[...]], axis=0)
     # Polyphase FIR: u_j = sum_k E[j+k] * w[k], j = 0..R (row j is
@@ -194,15 +196,19 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
                             taps_merged: jnp.ndarray, C: int,
                             tile_rows: int = DEFAULT_TILE_ROWS,
                             demod: bool = True,
+                            prefix: tuple = None,
                             interpret: bool = False):
     """Fused channelize + conj-demod of planar (re, im) signal planes.
 
     ``taps_merged``: (tp1, C) merged prototype rows on DEVICE
-    (``channelizer._merged_tap_rows``; tracers fine).  Returns the (S, C)
-    angle plane when ``demod`` (caller reshapes/transposes to (C, S)),
-    else the (zr, zi) planes for an outside atan2.  NOT jitted itself:
-    the IDFT constants are built on the host at trace time, the device
-    ops stage into the enclosing user jit."""
+    (``channelizer._merged_tap_rows``; tracers fine).  ``prefix``:
+    optional (pre_r, pre_i) of (HALO_ROWS, C) look-back rows preceding
+    the signal (sharded shard bodies pass the ppermute halo; None =
+    zeros, the whole-signal causal start).  Returns the (S, C) angle
+    plane when ``demod`` (caller reshapes/transposes to (C, S)), else
+    the (zr, zi) planes for an outside atan2.  NOT jitted itself: the
+    IDFT constants are built on the host at trace time, the device ops
+    stage into the enclosing user jit."""
     n = xr.shape[-1]
     S = n // C
     R = tile_rows
@@ -241,6 +247,11 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
     gate = jnp.concatenate(
         [jnp.zeros((8, C), jnp.float32),
          jnp.ones((8 * (tiles - 1), C), jnp.float32)], axis=0)
+    if prefix is None:
+        pre_r = jnp.zeros((H, C), jnp.float32)
+        pre_i = pre_r
+    else:
+        pre_r, pre_i = prefix
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -256,6 +267,7 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
         in_specs=[
             halo_spec, halo_spec, main_spec, main_spec,
             const_spec((H, C)), gate_spec,
+            const_spec((H, C)), const_spec((H, C)),
             const_spec((n1, LANES)), const_spec((n1, LANES)),
             const_spec((LANES, LANES)), const_spec((LANES, LANES)),
             const_spec((LANES, LANES)), const_spec((LANES, LANES)),
@@ -265,7 +277,7 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
         out_shape=out_sd if demod else (out_sd, out_sd),
         compiler_params=params,
         interpret=interpret,
-    )(X_r, X_i, X_r, X_i, w, gate,
+    )(X_r, X_i, X_r, X_i, w, gate, pre_r, pre_i,
       jnp.asarray(Tr), jnp.asarray(Ti),
       frh, frl, fmh, fml, fph, fpl)
     return out

@@ -343,13 +343,18 @@ def sharded_channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
     if S // d < t + 1:
         raise ValueError("shard shorter than FIR+demod halo; "
                          "use fewer devices")
-    fn = _sharded_channelizer_fn(mesh, axis_name, C, t, d)
+    # Kernel eligibility decided OUTSIDE the shard_map trace (the probe
+    # compile cannot run inside one); each shard then runs the fused
+    # megakernel on its local rows with the ppermute halo as the
+    # kernel's prefix input.
+    use_kernel = _pallas_chan_eligible(C, S // d, t)
+    fn = _sharded_channelizer_fn(mesh, axis_name, C, t, d, use_kernel)
     return fn(x, prototype)
 
 
 @functools.lru_cache(maxsize=32)
 def _sharded_channelizer_fn(mesh: Mesh, axis_name, C: int, t: int,
-                            d: int):
+                            d: int, use_kernel: bool = False):
     from . import collectives
 
     def body(xb, proto):
@@ -361,14 +366,34 @@ def _sharded_channelizer_fn(mesh: Mesh, axis_name, C: int, t: int,
         halo_n = (t + 1) * C
         halo = collectives.shift_from_left(xb[-halo_n:], axis_name,
                                            wrap=False)
+        if use_kernel:
+            from ..kernels import channelizer_pallas as ckp
+            H = ckp.HALO_ROWS
+            hr = jnp.real(halo).reshape(t + 1, C)
+            hi = jnp.imag(halo).reshape(t + 1, C)
+            # Only the last tp1 = t+1 prefix rows are touched by the
+            # kernel's tap window; pad the top with zeros.
+            pad = jnp.zeros((H - (t + 1), C), jnp.float32)
+            zr, zi = ckp.channelize_demod_pallas(
+                jnp.real(xb), jnp.imag(xb), taps_merged, C, demod=False,
+                prefix=(jnp.concatenate([pad, hr], axis=0),
+                        jnp.concatenate([pad, hi], axis=0)))
+            ang = jnp.arctan2(zi, zr)
+            n1 = C // 128
+            s_loc = xb.shape[-1] // C
+            return ang.reshape(s_loc, n1, 128).transpose(2, 1, 0) \
+                      .reshape(C, s_loc)
         ext = jnp.concatenate([halo, xb]).reshape(-1, C)
         s_out = xb.shape[-1] // C + 1        # +1 row for the demod lookback
         y = _channelize_rows(ext, taps_merged, s_out)
         dem = jnp.angle(y[1:] * jnp.conj(y[:-1]))
         return dem.T                          # (C, S_local)
 
+    # check_vma=False: the Pallas kernel path's out_shape carries no vma
+    # annotation (same rule as sharded_fft/mimo shard_map bodies).
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis_name), P()),
         out_specs=P(None, axis_name),
+        check_vma=False,
     ))

@@ -123,3 +123,48 @@ def test_dispatch_uses_kernel_when_forced(monkeypatch):
     # test_channelizer_pallas_matches_xla for the weighted bound).
     assert (d > 1e-3).mean() < 1e-3
     np.testing.assert_array_less(d, np.pi / 8)
+
+
+def test_sharded_path_uses_kernel_with_prefix(monkeypatch):
+    """Sharded channelizer with the kernel forced on (interpret): the
+    ppermute halo rides the kernel's prefix input; output matches the
+    unsharded XLA pipeline exactly (same wrapped-angle grade)."""
+    import jax
+    from jax.sharding import Mesh
+    from basic_dsp_tpu.parallel import channelizer as chz
+
+    calls = {}
+    orig = ckp.channelize_demod_pallas
+
+    def spy(xr, xi, taps, C, **kw):
+        calls["hit"] = calls.get("hit", 0) + 1
+        kw["interpret"] = True
+        return orig(xr, xi, taps, C, **kw)
+
+    monkeypatch.setattr(
+        "basic_dsp_tpu.kernels.channelizer_pallas.channelize_demod_pallas",
+        spy)
+    monkeypatch.setattr(chz, "_pallas_chan_eligible",
+                        lambda *a, **k: True)
+
+    C = 256
+    d = 2
+    S = d * 2 * ckp.DEFAULT_TILE_ROWS
+    x = _signal(S * C, seed=11)
+    proto = (np.hamming(C * 8) / C).astype(np.float32)
+    devs = np.array(jax.devices()[:d])
+    mesh = Mesh(devs, ("t",))
+    got = np.asarray(chz.sharded_channelize_and_demod(
+        jnp.asarray(x.real) + 1j * jnp.asarray(x.imag),
+        jnp.asarray(proto), C, mesh))
+    assert calls.get("hit"), "sharded body did not route to the kernel"
+
+    cfg_off = dataclasses.replace(config.default_config(),
+                                  use_pallas_channelizer=False)
+    monkeypatch.setattr(config, "_default_config", cfg_off)
+    expected = np.asarray(chz.channelize_and_demod(
+        jnp.asarray(x.real) + 1j * jnp.asarray(x.imag),
+        jnp.asarray(proto), C))
+    d_ = np.abs(np.angle(np.exp(1j * (got - expected))))
+    assert (d_ > 1e-3).mean() < 1e-3
+    np.testing.assert_array_less(d_, np.pi / 8)
