@@ -260,7 +260,12 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
     out_spec = pl.BlockSpec((R, C), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_sd = jax.ShapeDtypeStruct((S, C), jnp.float32)
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # Tile dim marked parallel (tiles are independent): lets Mosaic
+    # pipeline block DMA more aggressively — probe_chan_dimsem measured
+    # ~5% over the default on the same tunnel state.
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=("parallel",))
     out = pl.pallas_call(
         functools.partial(_chan_kernel, n1=n1, tp1=tp1, R=R, demod=demod),
         grid=(tiles,),
