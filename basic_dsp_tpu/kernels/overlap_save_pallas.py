@@ -246,7 +246,9 @@ def _blocked_linear_conv_pallas(xr, xi, hr, hi, fft_len: int,
                  const_spec((r1, r2)), const_spec((r1, r2))]
                 + [const_spec(s) for s in const_shapes])
     out_spec = tile_spec((B, fft_len))
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # Block rows are independent -> parallel grid dim (probe_chan_dimsem).
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024,
+                                  dimension_semantics=("parallel",))
     yr, yi = pl.pallas_call(
         functools.partial(_os_kernel, r1=r1, B=B, L=L),
         grid=grid,

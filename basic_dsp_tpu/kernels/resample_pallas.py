@@ -161,7 +161,9 @@ def resample_direct_pallas(x: jnp.ndarray, taps, P: int, Q: int,
         consts.append(jnp.asarray(M2h[k * span:(k + 1) * span]))
         consts.append(jnp.asarray(M2l[k * span:(k + 1) * span]))
 
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # Row tiles are independent -> parallel grid dim (probe_chan_dimsem).
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024,
+                                  dimension_semantics=("parallel",))
     out = pl.pallas_call(
         functools.partial(_rs_kernel, K=K),
         grid=(tiles,),

@@ -538,8 +538,13 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
     # Mosaic's default scoped-VMEM stack limit is 16 MB; the stage chain's
     # live temporaries exceed it at L2 >= 256 (measured 30.4 MB).  v5e has
     # 128 MB physical VMEM — raise the per-kernel limit instead of
-    # shrinking blocks below MXU-efficient sizes.
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # shrinking blocks below MXU-efficient sizes.  Row blocks are
+    # independent -> parallel grid dim (more aggressive DMA pipelining,
+    # probe_chan_dimsem) — EXCEPT the transposed path, whose grid-
+    # resident accumulator makes steps order-dependent.
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=None if transposed else ("parallel",))
     fm_spec = pl.BlockSpec((m0, m0), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
     base = functools.partial(_rowfft_kernel, L2=L2, rows=rows,
