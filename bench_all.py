@@ -211,6 +211,25 @@ def main():
                          "tunnel-health probes; see merge_captures)")
     args_cli = ap.parse_args()
 
+    # Bounded-liveness probe in a SUBPROCESS (same rationale as
+    # bench.py._device_reachable): a down tunnel hangs even trivial ops
+    # forever, and a hung capture session blocks the whole harness.
+    import subprocess
+    import sys as _sys
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "assert float(jnp.ones((128,)).sum()) == 128.0"],
+            timeout=180, capture_output=True)
+        reachable = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        reachable = False
+    if not reachable:
+        print("# device unreachable (axon tunnel down?) — refusing to "
+              "hang; re-run when the tunnel recovers")
+        return
+
     import jax
     import jax.numpy as jnp
 
