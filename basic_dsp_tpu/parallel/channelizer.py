@@ -53,8 +53,12 @@ def _merged_tap_rows(prototype: jnp.ndarray, C: int) -> jnp.ndarray:
             and not jnp.iscomplexobj(prototype))  # see conv_ops._toeplitz_body
     with jax.ensure_compile_time_eval() if fold else nullcontext():
         h_rc = prototype.reshape(t, C)                # h_rc[r, p] = h[p+r*C]
-        perm = (C - jnp.arange(C)) % C
-        tc = h_rc[:, perm]
+        # Column permutation (C - c) % C == [0, reversed(1..C-1)]: a
+        # slice + flip (XLA Rev), NOT a gather — traced prototypes hit
+        # this on-device per call and TPU gathers are catastrophically
+        # slow (CLAUDE.md).
+        tc = jnp.concatenate([h_rc[:, :1], jnp.flip(h_rc[:, 1:], axis=1)],
+                             axis=1)
         top = jnp.concatenate([tc[:1, :1],
                                jnp.zeros((1, C - 1), tc.dtype)], axis=1)
         rest = jnp.concatenate([tc[1:, :1], tc[:-1, 1:]], axis=1)
