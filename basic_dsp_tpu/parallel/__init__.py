@@ -18,5 +18,7 @@ from .sharded import (
     shard_time_axis,
 )
 from .channelizer import (polyphase_channelizer, fm_demodulate,
+                          channelize_and_demod,
+                          channelize_and_demod_planar,
                           sharded_channelize_and_demod)
 from .mimo import sharded_convolve_mat

@@ -159,9 +159,14 @@ def _polyphase_fir_planes(ext: jnp.ndarray, taps_merged: jnp.ndarray,
     (the single source of truth — channelize_and_demod's MXU-IDFT path
     and _channelize_rows both consume it).  Returns (re, im) planes of
     shape (s_out, C)."""
+    return _polyphase_fir_planar(jnp.real(ext), jnp.imag(ext),
+                                 taps_merged, s_out)
+
+
+def _polyphase_fir_planar(ext_r, ext_i, taps_merged, s_out: int):
     tp1, C = taps_merged.shape
     rhs = jnp.flip(taps_merged, axis=0).reshape(tp1, 1, C)
-    lhs = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    lhs = jnp.stack([ext_r, ext_i], axis=0)
     out = jax.lax.conv_general_dilated(
         lhs, rhs.astype(lhs.dtype),
         window_strides=(1,), padding="VALID",
@@ -271,8 +276,22 @@ def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
     (the pipeline's dominant stage, 0.368 of 0.715 ms at 4M/1024ch —
     profile_chan2.log), the demod runs on the planes, and the factored
     (c1, c2) interleave folds into this existing final transpose."""
+    return channelize_and_demod_planar(jnp.real(x), jnp.imag(x),
+                                       prototype, n_channels)
+
+
+def channelize_and_demod_planar(xr: jnp.ndarray, xi: jnp.ndarray,
+                                prototype: jnp.ndarray,
+                                n_channels: int) -> jnp.ndarray:
+    """Planar-boundary variant of :func:`channelize_and_demod` — the
+    library's program-boundary convention (complex travels as (re, im)
+    planes, ``_planar.py``).  The interleaved-complex pack/unpack that
+    the complex entry pays is NOT canceled by XLA and costs ~0.13 ms at
+    4M/1024ch (probe_chan_planar_entry: 0.335 vs 0.210 ms) — pipelines
+    holding planes (e.g. a planar DspVector's storage) should call this
+    directly."""
     C = n_channels
-    n = x.shape[-1]
+    n = xr.shape[-1]
     if _pallas_chan_eligible(C, n // C, prototype.shape[-1] // C):
         from ..kernels import channelizer_pallas as ckp
         taps_merged = _merged_tap_rows(prototype, C)
@@ -282,7 +301,7 @@ def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
         # 0.257 vs 0.272 ms at 4M/1024ch) because the extra HBM round
         # trip costs less than the kernel's serialized VPU atan2.
         zr, zi = ckp.channelize_demod_pallas(
-            jnp.real(x), jnp.imag(x), taps_merged, C, demod=False)
+            xr, xi, taps_merged, C, demod=False)
         ang = jnp.arctan2(zi, zr)
         n1 = C // 128
         S = n // C
@@ -291,10 +310,13 @@ def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
     if _idft_eligible(C):
         taps_merged = _merged_tap_rows(prototype, C)
         t = taps_merged.shape[0] - 1
-        X = x.reshape(-1, C)
-        S = X.shape[0]
-        ext = jnp.concatenate([jnp.zeros((t, C), X.dtype), X], axis=0)
-        u0, u1 = _polyphase_fir_planes(ext, taps_merged, S)
+        Xr = xr.reshape(-1, C)
+        Xi = xi.reshape(-1, C)
+        S = Xr.shape[0]
+        zpad = jnp.zeros((t, C), Xr.dtype)
+        u0, u1 = _polyphase_fir_planar(
+            jnp.concatenate([zpad, Xr], axis=0),
+            jnp.concatenate([zpad, Xi], axis=0), taps_merged, S)
         yr, yi = _idft_rows_planar(u0, u1, C)
         # FM demod on planes: z = y * conj(prev), one-row lookback.
         pr = jnp.concatenate([yr[:1], yr[:-1]], axis=0)
@@ -304,7 +326,8 @@ def channelize_and_demod(x: jnp.ndarray, prototype: jnp.ndarray,
         ang = jnp.arctan2(zi, zr)                 # (S, c1, c2)
         # channel c = c1 + n1*c2 == flat (c2, c1): ONE f32 transpose.
         return ang.transpose(2, 1, 0).reshape(C, S)
-    y = _channelize_rows_padded(x, prototype, n_channels)   # (S, C)
+    y = _channelize_rows_padded(jax.lax.complex(xr, xi), prototype,
+                                n_channels)       # (S, C)
     prev = jnp.concatenate([y[:1], y[:-1]], axis=0)
     return jnp.angle(y * jnp.conj(prev)).T
 

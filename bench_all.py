@@ -371,9 +371,12 @@ def main():
     c_im = jnp.asarray(rng.normal(size=n5).astype(np.float32))
     proto = jnp.asarray((np.hamming(C * 8) / C).astype(np.float32))
 
+    # Planar entry (same rule as config #4): the library's program
+    # boundary carries complex as (re, im) planes (_planar.py), and the
+    # interleaved-complex pack/unpack XLA does NOT cancel costs ~0.13 ms
+    # at this size (probe_chan_planar_entry: 0.335 vs 0.210 ms).
     def cfg5(xr, xi, p, carry):
-        x = (xr + carry) + 1j * xi
-        return channelizer.channelize_and_demod(x, p, C)
+        return channelizer.channelize_and_demod_planar(xr + carry, xi, p, C)
 
     dt = timed(cfg5, c_re, c_im, proto, iters=30)
     from basic_dsp_tpu.parallel.channelizer import _pallas_chan_eligible
