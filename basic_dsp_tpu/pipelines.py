@@ -58,10 +58,18 @@ def fir_fft_chain(x: jnp.ndarray, taps: jnp.ndarray, window: jnp.ndarray,
 
 @jax.jit
 def windowed_spectrum(x: jnp.ndarray, window: jnp.ndarray):
-    """Config #1: windowed FFT magnitude of a (real or complex) signal."""
-    from . import _planar
-    work = x.astype(_planar.complex_dtype_for(x.dtype))
-    return _shifted_mag(work * window.astype(work.dtype))
+    """Config #1: windowed FFT magnitude of a (real or complex) signal.
+
+    A REAL input stays real all the way to the four-step's stage-1 dots:
+    the interleaved-complex cast XLA does NOT cancel (~2 extra HBM
+    passes, probe_chan_planar_entry's lesson), and the spectrum path's
+    ``jnp.imag`` of a real array lowers to a broadcast-0 whose dots the
+    algebraic simplifier removes — the real-signal pruning."""
+    if jnp.iscomplexobj(x):
+        from . import _planar
+        work = x.astype(_planar.complex_dtype_for(x.dtype))
+        return _shifted_mag(work * window.astype(work.dtype))
+    return _shifted_mag(x * window.astype(x.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("beta", "factor", "delay",

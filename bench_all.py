@@ -279,8 +279,10 @@ def main():
                        .astype(np.float32))
     w1 = HammingWindow().sample(n1, dtype=jnp.float32)
 
+    # Real input stays REAL to the stage-1 dots (the complex64 cast is
+    # an uncancelled interleave round trip; windowed_spectrum rule).
     def cfg1(x, w, carry):
-        return pipelines._shifted_mag((x + carry).astype(jnp.complex64) * w)
+        return pipelines._shifted_mag((x + carry) * w)
 
     dt = timed(cfg1, sine, w1, iters=50)
     record("windowed_fft_magnitude_1m", n1, dt, 56.0 * n1, 1920.0 * n1,
