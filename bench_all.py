@@ -266,14 +266,13 @@ def main():
         })
 
     # ---- Config 1: 1M real sine -> windowed FFT magnitude. ----
-    # Path: planar four-step (n1=128, Karatsuba stage-1) + Pallas row-FFT
-    # tail; the REAL input's zero imag plane prunes stage-1 to ONE dot
-    # (2*128 F/sample) + kernel sublane DFT-64 (3*2*64) + lane DFT-128
-    # (3*2*128) = 1408 F/sample -> 0.048 ms, below the 0.068 ms byte
-    # floor (56 B/sample: carry 4 + x 4 + window 4 fused into stage-1's
-    # read + T r8 + C w8 r8 + mag w4 r4 + transpose w4) -> HBM-bound.
-    # The 1920 figure is kept as the flops input so the floor stays
-    # max(bytes, flops) = bytes either way.
+    # Path: REAL input straight into the four-step (no complex cast —
+    # the interleave round trip is not canceled by XLA), Karatsuba
+    # stage-1 pruned to ONE dot by the zero imag plane (2*128 F/sample)
+    # + kernel sublane DFT-64 (3*2*64) + lane DFT-128 (3*2*128) = 1408
+    # F/sample -> 0.046 ms.  Bytes: carry r4 + x r4 (window fused) +
+    # stage-1 out w8 + streamed twiddle r8 + kernel r8 + mag w4 +
+    # transpose r4 w4 = 44 B/sample -> 0.054 ms -> HBM-bound.
     n1 = 1 << 20
     sine = jnp.asarray(np.sin(2 * np.pi * 0.01 * np.arange(n1))
                        .astype(np.float32))
@@ -285,8 +284,8 @@ def main():
         return pipelines._shifted_mag((x + carry) * w)
 
     dt = timed(cfg1, sine, w1, iters=50)
-    record("windowed_fft_magnitude_1m", n1, dt, 56.0 * n1, 1920.0 * n1,
-           "complex four-step n1=128 + Pallas tail; window fused")
+    record("windowed_fft_magnitude_1m", n1, dt, 44.0 * n1, 1408.0 * n1,
+           "real-pruned four-step n1=128 + Pallas tail; window fused")
 
     # ---- Config 2: 4M complex RC FIR. ----
     # Toeplitz MXU path, complex x, complex taps: 2 band shifts of
