@@ -216,6 +216,127 @@ def _toeplitz_conv_impl(x, h, is_complex: bool, precision: str):
     return out if is_complex else jnp.real(out).astype(x.dtype)
 
 
+def _toeplitz_planes(extr, exti, q, fold, m_eff, R, n_shifts, lead,
+                     rdtype, precision):
+    """Shared planar Toeplitz MAC loop over pre-built (re, im) circular
+    extensions: XLA's complex-dot lowering measured 0.211 ms vs 0.173
+    for the explicit plane form at 4M/128 complex taps
+    (probe_ctoeplitz.log) — and complex64 is interleaved on TPU, so the
+    plane form also removes relayouts.  ``q`` may be real (planes
+    convolve independently, 2 dots, compile-time tap-matrix fold kept)
+    or complex (3-dot Karatsuba)."""
+    j = np.arange(128)[:, None]
+    col = np.arange(128)[None, :]
+    h_cplx = jnp.iscomplexobj(q)
+    if h_cplx:
+        qr = jnp.real(q)
+        qi = jnp.imag(q)
+    outr = jnp.zeros(lead + (R * 128,), dtype=rdtype)
+    outi = jnp.zeros(lead + (R * 128,), dtype=rdtype)
+    for a in range(n_shifts):
+        e = 128 * a + j - col
+        mask = (e >= 0) & (e < m_eff)
+        idx = np.where(mask, e, 0)
+        mj = jnp.asarray(mask)
+        br = extr[..., 128 * a: 128 * a + R * 128].reshape(
+            lead + (R, 128))
+        bi = exti[..., 128 * a: 128 * a + R * 128].reshape(
+            lead + (R, 128))
+        if not h_cplx:
+            # REAL taps, complex signal (the flagship/facade FIR
+            # case): the planes convolve independently — 2 dots, and
+            # a CONCRETE kernel keeps the compile-time tap-matrix
+            # fold (round-3 review: routing this case through the
+            # Karatsuba branch had staged the gather builds into the
+            # program and run 3 dots on a zero plane).
+            def _mk_ta():
+                return jnp.where(mj, q[..., idx], 0)
+
+            if fold:
+                with jax.ensure_compile_time_eval():
+                    Ta = _mk_ta()
+            else:
+                Ta = _mk_ta()
+            Ta = Ta.astype(rdtype)
+            outr = outr + jnp.matmul(br, Ta,
+                                     precision=precision
+                                     ).reshape(outr.shape)
+            outi = outi + jnp.matmul(bi, Ta,
+                                     precision=precision
+                                     ).reshape(outi.shape)
+            continue
+        Tar = jnp.where(mj, qr[..., idx], 0).astype(rdtype)
+        Tai = jnp.where(mj, qi[..., idx], 0).astype(rdtype)
+        Tam = Tai - Tar
+        Tap = Tai + Tar
+        k1 = jnp.matmul(br + bi, Tar, precision=precision)
+        k2 = jnp.matmul(br, Tam, precision=precision)
+        k3 = jnp.matmul(bi, Tap, precision=precision)
+        outr = outr + (k1 - k3).reshape(outr.shape)
+        outi = outi + (k1 + k2).reshape(outi.shape)
+    return outr, outi
+
+
+def toeplitz_conv_planar(xr: jnp.ndarray, xi: jnp.ndarray,
+                         h: jnp.ndarray):
+    """Planar-boundary Toeplitz convolution: complex signal as (re, im)
+    planes in and out — skips the interleaved complex pack/unpack that
+    :func:`toeplitz_conv` pays at its boundary (not canceled by XLA;
+    probe_chan_planar_entry measured ~0.13 ms at 4M).  ``h`` real or
+    complex.  Returns (out_re, out_im)."""
+    return _toeplitz_planar_impl(xr, xi, h, config.matmul_precision())
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _toeplitz_planar_impl(xr, xi, h, precision: str):
+    n = xr.shape[-1]
+    m = h.shape[-1]
+    start, length, c = _clip_kernel(n, m)
+    fold = not isinstance(h, jax.core.Tracer) and not jnp.iscomplexobj(h)
+    with jax.ensure_compile_time_eval() if fold else _nullcontext():
+        h_eff = h[..., start:start + length]
+        q = h_eff[..., ::-1]
+    m_eff = length
+    rdtype = jnp.result_type(xr.dtype,
+                             jnp.zeros((), q.dtype).real.dtype)
+    R = -(-n // 128)
+    n_shifts = -(-(m_eff + 127) // 128)
+    need = R * 128 + 128 * n_shifts
+    k = (m_eff - c) % n if n else 0
+
+    def ext_of(p):
+        pieces = [p[..., n - k:]] if k else []
+        remaining = need - k
+        while remaining > 0:
+            take = min(remaining, n)
+            pieces.append(p[..., :take])
+            remaining -= take
+        return jnp.concatenate(pieces, axis=-1).astype(rdtype)
+
+    outr, outi = _toeplitz_planes(ext_of(xr), ext_of(xi), q, fold, m_eff,
+                                  R, n_shifts, xr.shape[:-1], rdtype,
+                                  precision)
+    return outr[..., :n], outi[..., :n]
+
+
+def convolve_signal_planar(xr: jnp.ndarray, xi: jnp.ndarray,
+                           h: jnp.ndarray, cfg=None):
+    """Planar-boundary :func:`convolve_signal` for complex signals held
+    as (re, im) planes (the library's program-boundary convention,
+    ``_planar.py``).  The Toeplitz-eligible case runs fully planar; the
+    FFT paths construct the complex view inside the trace (their FFTs
+    need complex anyway).  Returns (out_re, out_im)."""
+    from .. import config as _config
+    cfg = cfg or _config.default_config()
+    n = xr.shape[-1]
+    m = h.shape[-1]
+    if n > cfg.direct_conv_min_len and m <= cfg.direct_conv_max_imp_len:
+        return toeplitz_conv_planar(xr, xi, h)
+    out = convolve_signal(jax.lax.complex(xr, xi),
+                          h, True, cfg)
+    return jnp.real(out), jnp.imag(out)
+
+
 def _toeplitz_body(x, h, precision: str):
     n = x.shape[-1]
     m = h.shape[-1]
@@ -255,64 +376,19 @@ def _toeplitz_body(x, h, precision: str):
     j = np.arange(128)[:, None]
     col = np.arange(128)[None, :]
     if jnp.issubdtype(dtype, jnp.complexfloating):
-        # PLANAR 3-dot Karatsuba complex path: XLA's complex-dot lowering
-        # measured 0.211 ms vs 0.173 for the explicit plane form at
-        # 4M/128 complex taps (probe_ctoeplitz.log) — and complex64 is
-        # interleaved on TPU, so the plane split also removes relayouts.
+        # PLANAR 3-dot Karatsuba complex path (see _toeplitz_planes):
         # jnp.real/imag here are TRACED (no eager complex op on axon);
         # a real-valued side lowers its imag plane to broadcast(0), which
-        # XLA's algebraic simplifier removes from the dots.
+        # XLA's algebraic simplifier removes from the dots.  Callers
+        # already holding planes should use toeplitz_conv_planar — the
+        # interleaved pack/unpack at this boundary is NOT canceled by
+        # XLA (probe_chan_planar_entry's lesson).
         rdtype = jnp.zeros((), dtype).real.dtype
         extr = jnp.real(ext).astype(rdtype)
         exti = jnp.imag(ext).astype(rdtype)
-        h_cplx = jnp.iscomplexobj(q)
-        if h_cplx:
-            qr = jnp.real(q)
-            qi = jnp.imag(q)
-        lead = x.shape[:-1]
-        outr = jnp.zeros(lead + (R * 128,), dtype=rdtype)
-        outi = jnp.zeros(lead + (R * 128,), dtype=rdtype)
-        for a in range(n_shifts):
-            e = 128 * a + j - col
-            mask = (e >= 0) & (e < m_eff)
-            idx = np.where(mask, e, 0)
-            mj = jnp.asarray(mask)
-            br = extr[..., 128 * a: 128 * a + R * 128].reshape(
-                lead + (R, 128))
-            bi = exti[..., 128 * a: 128 * a + R * 128].reshape(
-                lead + (R, 128))
-            if not h_cplx:
-                # REAL taps, complex signal (the flagship/facade FIR
-                # case): the planes convolve independently — 2 dots, and
-                # a CONCRETE kernel keeps the compile-time tap-matrix
-                # fold (round-3 review: routing this case through the
-                # Karatsuba branch had staged the gather builds into the
-                # program and run 3 dots on a zero plane).
-                def _mk_ta():
-                    return jnp.where(mj, q[..., idx], 0)
-
-                if fold:
-                    with jax.ensure_compile_time_eval():
-                        Ta = _mk_ta()
-                else:
-                    Ta = _mk_ta()
-                Ta = Ta.astype(rdtype)
-                outr = outr + jnp.matmul(br, Ta,
-                                         precision=precision
-                                         ).reshape(outr.shape)
-                outi = outi + jnp.matmul(bi, Ta,
-                                         precision=precision
-                                         ).reshape(outi.shape)
-                continue
-            Tar = jnp.where(mj, qr[..., idx], 0).astype(rdtype)
-            Tai = jnp.where(mj, qi[..., idx], 0).astype(rdtype)
-            Tam = Tai - Tar
-            Tap = Tai + Tar
-            k1 = jnp.matmul(br + bi, Tar, precision=precision)
-            k2 = jnp.matmul(br, Tam, precision=precision)
-            k3 = jnp.matmul(bi, Tap, precision=precision)
-            outr = outr + (k1 - k3).reshape(outr.shape)
-            outi = outi + (k1 + k2).reshape(outi.shape)
+        outr, outi = _toeplitz_planes(extr, exti, q, fold, m_eff, R,
+                                      n_shifts, x.shape[:-1], rdtype,
+                                      precision)
         return jax.lax.complex(outr, outi).astype(dtype)[..., :n]
     out = jnp.zeros(x.shape[:-1] + (R * 128,), dtype=dtype)
     for a in range(n_shifts):

@@ -299,9 +299,12 @@ def main():
     t = ((np.arange(128) - 64) * 0.25).astype(np.float32)
     taps = jnp.asarray(np.asarray(rc.calc(t)))
 
+    # Planar entry (library boundary convention; the complex pack/unpack
+    # is not canceled by XLA — see convolve_signal_planar).
     def cfg2(xr, xi, h, carry):
-        x = (xr + carry) + 1j * xi
-        return conv_ops.convolve_signal(x, h.astype(jnp.complex64), True)
+        re, im = conv_ops.convolve_signal_planar(
+            xr + carry, xi, h.astype(jnp.complex64))
+        return jnp.concatenate([re, im])
 
     dt = timed(cfg2, x_re, x_im, taps, iters=50)
     record("rc_fir_4m", n2, dt, 20.0 * n2, 1536.0 * n2,

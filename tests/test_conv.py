@@ -282,3 +282,28 @@ def test_toeplitz_complex_signal_real_taps_folds_and_two_dots():
     want = np.asarray(conv_ops.convolve_signal_fft(
         x, h.astype(jnp.complex64), True))
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_convolve_signal_planar_matches_complex():
+    """Planar-boundary conv entry == complex entry (toeplitz and FFT
+    dispatch regions), real and complex taps."""
+    import jax.numpy as jnp
+    from basic_dsp_tpu.ops import conv_ops
+
+    rng = np.random.default_rng(5)
+    for n, m in [(4096, 33), (4096, 128), (2048, 700)]:
+        xr = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        xi = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        for cplx_taps in (False, True):
+            if cplx_taps:
+                h = jnp.asarray((rng.normal(size=m) + 1j *
+                                 rng.normal(size=m)).astype(np.complex64))
+            else:
+                h = jnp.asarray(rng.normal(size=m).astype(np.float32))
+            want = np.asarray(conv_ops.convolve_signal(
+                xr + 1j * xi, h if cplx_taps else h.astype(jnp.complex64),
+                True))
+            gr, gi = conv_ops.convolve_signal_planar(
+                xr, xi, h if cplx_taps else h.astype(jnp.complex64))
+            got = np.asarray(gr) + 1j * np.asarray(gi)
+            np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
