@@ -230,12 +230,20 @@ def to_host(x) -> np.ndarray:
 
 
 def from_host_complex(re, im):
-    """Host real/imag -> device complex representation."""
+    """Host real/imag -> device complex representation.
+
+    The f64 dtype policy (strict_f64 raise / no-native-f64 cap) is applied
+    HERE, eagerly: the jit path below is trace-cached, so a policy check
+    inside the trace would be skipped whenever a compiled program is
+    reused (a strict_f64 flip after warm-up would silently not raise)."""
     re = jnp.asarray(re)
     im = jnp.asarray(im)
+    cdtype = complex_dtype_for(re.dtype, im.dtype)
+    rdtype = np.zeros((), np.dtype(cdtype)).real.dtype
+    re = re.astype(rdtype)
+    im = im.astype(rdtype)
     if planar_mode():
-        rdtype = jnp.result_type(re.dtype, im.dtype)
-        return PlanarComplex(re.astype(rdtype), im.astype(rdtype))
+        return PlanarComplex(re, im)
     return call(_combine, re, im)
 
 

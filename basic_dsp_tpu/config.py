@@ -155,7 +155,15 @@ def default_config() -> DspConfig:
 
 
 def set_default_config(cfg: DspConfig) -> None:
-    global _default_config
+    """Installs ``cfg`` as the process default.
+
+    Bumps the trace-cache epoch: config fields are consulted at TRACE
+    time (strict_f64 raises, dispatch gates pick paths), so cached
+    compiled programs from a previous config must not be reused — a
+    strict_f64 flip after warm-up would otherwise silently not raise."""
+    global _default_config, _precision_epoch
+    if cfg != _default_config:
+        _precision_epoch += 1
     _default_config = cfg
 
 
