@@ -126,9 +126,33 @@ def _ifft_blocks(br, bi):
     return out_r, out_i
 
 
+@functools.lru_cache(maxsize=4)
+def _twiddled_idft_consts(C: int):
+    """Per-group outer-IDFT Karatsuba planes with the inter-factor
+    twiddle folded in: F'_a = diag(exp(2i pi a l / C)) @ F128, computed
+    in host f64 (one fewer f32 rounding than the in-kernel twiddle
+    multiply).  Returns (Fr, Fm, Fp) stacked (n1, 128, 128) f32."""
+    n1 = C // LANES
+    l = np.arange(LANES)
+    F = np.exp(2j * np.pi * np.outer(l, l) / LANES)
+    frs, fms, fps = [], [], []
+    for a in range(n1):
+        Ta = np.exp(2j * np.pi * a * l / C)
+        Fp = Ta[:, None] * F
+        frs.append(Fp.real)
+        fms.append(Fp.imag - Fp.real)
+        fps.append(Fp.real + Fp.imag)
+    # Stacked as 2-D (n1*128, 128): the kernel slices group a with a
+    # static row slice [a*128:(a+1)*128] — an integer index under
+    # ensure_compile_time_eval would be captured as a traced constant,
+    # which pallas_call rejects (the runtime_ok probe compiles there).
+    return (np.ascontiguousarray(np.concatenate(frs), dtype=np.float32),
+            np.ascontiguousarray(np.concatenate(fms), dtype=np.float32),
+            np.ascontiguousarray(np.concatenate(fps), dtype=np.float32))
+
+
 def _chan_kernel(hr_ref, hi_ref, mr_ref, mi_ref, w_ref, g_ref,
                  pr_ref, pi_ref,
-                 tr_ref, ti_ref,
                  frh_ref, frl_ref, fmh_ref, fml_ref, fph_ref, fpl_ref,
                  *out_refs, n1, tp1, R, demod):
     """One grid step: (R+16) signal rows -> (R, C) demod angles (or the
@@ -164,32 +188,34 @@ def _chan_kernel(hr_ref, hi_ref, mr_ref, mi_ref, w_ref, g_ref,
     Ur = [ur[:, b * LANES:(b + 1) * LANES] for b in range(n1)]
     Ui = [ui[:, b * LANES:(b + 1) * LANES] for b in range(n1)]
     Kr, Ki = _ifft_blocks(Ur, Ui)
-    # Twiddle + outer IDFT-128 per group: 3-dot Karatsuba, 3-pass each.
-    Yr = []
-    Yi = []
+    # Outer IDFT-128 per group: 3-dot Karatsuba, 3-pass each.  The
+    # inter-factor twiddle is FOLDED into per-group right constants
+    # F'_a = diag(T_a) @ F (host f64 product, hi/lo split) — the VPU
+    # twiddle multiply disappears and one f32 rounding step with it.
+    # Demod + store run per group: no (R+1, C) finish concats, each z
+    # panel stores to its aligned 128-lane output slice directly.
     for a in range(n1):
-        ta_r = tr_ref[a:a + 1]             # (1, LANES)
-        ta_i = ti_ref[a:a + 1]
-        cr = Kr[a] * ta_r - Ki[a] * ta_i
-        ci = Kr[a] * ta_i + Ki[a] * ta_r
-        k1 = _dot3(cr + ci, frh_ref[...], frl_ref[...])
-        k2 = _dot3(cr, fmh_ref[...], fml_ref[...])
-        k3 = _dot3(ci, fph_ref[...], fpl_ref[...])
-        Yr.append(k1 - k3)
-        Yi.append(k1 + k2)
-    yr = jnp.concatenate(Yr, axis=1)       # (R+1, C), lanes 128a+l
-    yi = jnp.concatenate(Yi, axis=1)
-    # FM demod: z = y[1:] * conj(y[:-1]); tile 0's row -1 is IDFT(0) = 0,
-    # so ang[0] = atan2(0, 0) = 0 == the dup-row convention's angle(|y|^2).
-    cur_r, cur_i = yr[1:], yi[1:]
-    pr, pi_ = yr[:-1], yi[:-1]
-    zr = cur_r * pr + cur_i * pi_
-    zi = cur_i * pr - cur_r * pi_
-    if demod:
-        out_refs[0][...] = _atan2f(zi, zr)
-    else:
-        out_refs[0][...] = zr
-        out_refs[1][...] = zi
+        cr = Kr[a]
+        ci = Ki[a]
+        sl = slice(a * LANES, (a + 1) * LANES)
+        k1 = _dot3(cr + ci, frh_ref[sl], frl_ref[sl])
+        k2 = _dot3(cr, fmh_ref[sl], fml_ref[sl])
+        k3 = _dot3(ci, fph_ref[sl], fpl_ref[sl])
+        ya_r = k1 - k3                     # (R+1, LANES)
+        ya_i = k1 + k2
+        # FM demod: z = y[1:] * conj(y[:-1]); tile 0's row -1 is
+        # IDFT(0) = 0, so ang[0] = atan2(0, 0) = 0 == the dup-row
+        # convention's angle(|y|^2).
+        cur_r, cur_i = ya_r[1:], ya_i[1:]
+        pr, pi_ = ya_r[:-1], ya_i[:-1]
+        zr = cur_r * pr + cur_i * pi_
+        zi = cur_i * pr - cur_r * pi_
+        lo = a * LANES
+        if demod:
+            out_refs[0][:, lo:lo + LANES] = _atan2f(zi, zr)
+        else:
+            out_refs[0][:, lo:lo + LANES] = zr
+            out_refs[1][:, lo:lo + LANES] = zi
 
 
 def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
@@ -224,8 +250,7 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
     X_r = xr.reshape(S, C)
     X_i = xi.reshape(S, C)
 
-    from ..parallel.channelizer import _idft_consts
-    _, (Tr, Ti), (Fr, Fm, Fp) = _idft_consts(C)
+    Fr, Fm, Fp = _twiddled_idft_consts(C)
 
     def split(M):
         h = M.astype(np.float32).astype(np.dtype(jnp.bfloat16))
@@ -273,20 +298,27 @@ def channelize_demod_pallas(xr: jnp.ndarray, xi: jnp.ndarray,
             halo_spec, halo_spec, main_spec, main_spec,
             const_spec((H, C)), gate_spec,
             const_spec((H, C)), const_spec((H, C)),
-            const_spec((n1, LANES)), const_spec((n1, LANES)),
-            const_spec((LANES, LANES)), const_spec((LANES, LANES)),
-            const_spec((LANES, LANES)), const_spec((LANES, LANES)),
-            const_spec((LANES, LANES)), const_spec((LANES, LANES)),
+            const_spec((n1 * LANES, LANES)), const_spec((n1 * LANES, LANES)),
+            const_spec((n1 * LANES, LANES)), const_spec((n1 * LANES, LANES)),
+            const_spec((n1 * LANES, LANES)), const_spec((n1 * LANES, LANES)),
         ],
         out_specs=out_spec if demod else (out_spec, out_spec),
         out_shape=out_sd if demod else (out_sd, out_sd),
         compiler_params=params,
         interpret=interpret,
     )(X_r, X_i, X_r, X_i, w, gate, pre_r, pre_i,
-      jnp.asarray(Tr), jnp.asarray(Ti),
       frh, frl, fmh, fml, fph, fpl)
     return out
 
+
+# A folded-lane variant ((S, C) viewed as (S/8, 8C) so the FIR's time-row
+# lookback becomes lane-block addressing, one sublane shift instead of
+# nine) was built and A/B'd on-chip in round 4: parity 2.5e-7 but
+# 0.30-0.38 ms vs 0.24 here (probe_chan_fold in git history,
+# probe_chan_shift).  The measurement shows the merged-tap FIR is
+# READ-BANDWIDTH/FMA-bound, not relayout-bound: aligned lane slices read
+# the same 9x bytes, and the folded form pays extra for its one roll,
+# per-subrow panels and M=264 dot fills.  Deleted rather than gated off.
 
 # None = unprobed; True/False after the once-per-process probe compile
 # (pattern: resample_pallas.runtime_ok).
