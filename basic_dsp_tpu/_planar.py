@@ -38,16 +38,52 @@ def complex_dtype_for(*dtypes):
     cd = jnp.result_type(*dtypes, jnp.complex64)
     if cd == jnp.dtype(jnp.complex128) and not _has_native_f64():
         from . import config
-        if config.default_config().strict_f64:
+        strict = config.default_config().strict_f64
+        if strict == "host":
+            # f64 flavors keep their dtype; call() routes their
+            # programs to the host CPU backend (true-f64 contract at
+            # host speed — vector_types/mod.rs:121-123).
+            return cd
+        if strict:
             raise FloatingPointError(
                 "strict_f64: a complex128 computation was requested on a "
                 "backend without native f64 — it would silently compute "
-                "at f32 grade (docs/API.md accuracy grades). Run this op "
-                "on CPU, use the *_prec reductions (device double-float, "
-                "f64-grade on any backend), or unset "
+                "at f32 grade (docs/API.md accuracy grades). Set "
+                "DspConfig.strict_f64='host' to run f64 flavors on the "
+                "host CPU backend, use the *_prec reductions (device "
+                "double-float, f64-grade on any backend), or unset "
                 "DspConfig.strict_f64.")
         return jnp.dtype(jnp.complex64)
     return cd
+
+
+def f64_host_mode() -> bool:
+    """True when f64-flavor programs must run on the host CPU backend:
+    ``DspConfig.strict_f64 == "host"`` on a no-native-f64 device."""
+    from . import config
+    return (config.default_config().strict_f64 == "host"
+            and not _has_native_f64())
+
+
+def _is_f64_family(a) -> bool:
+    dt = getattr(a, "dtype", None)
+    return dt is not None and jnp.dtype(dt) in (
+        jnp.dtype(jnp.float64), jnp.dtype(jnp.complex128))
+
+
+def _wants_host(arrays) -> bool:
+    for a in arrays:
+        if is_planar(a):
+            if _is_f64_family(a.re):
+                return True
+        elif _is_f64_family(a):
+            return True
+    return False
+
+
+@functools.lru_cache(maxsize=1)
+def _cpu_device():
+    return jax.devices("cpu")[0]
 
 
 def _has_native_f64() -> bool:
@@ -204,6 +240,15 @@ def call(fn, *arrays, static=()):
             PlanarComplex(jnp.asarray(a.real), jnp.asarray(a.imag))
             if isinstance(a, complex) else a
             for a in arrays)
+    if _wants_host(arrays) and f64_host_mode():
+        # strict_f64="host": f64-flavor programs run on the host CPU
+        # backend (jit follows committed argument placement), keeping
+        # the reference's f64 compute contract on devices without
+        # native f64.  device_put is a no-op for already-host arrays.
+        dev = _cpu_device()
+        arrays = tuple(jax.device_put(a, dev) if hasattr(a, "dtype")
+                       or is_planar(a) else a
+                       for a in arrays)
     from . import config
     salt = 0
     # _no_jit may sit on the object itself or (for bound-method statics
@@ -236,12 +281,20 @@ def from_host_complex(re, im):
     HERE, eagerly: the jit path below is trace-cached, so a policy check
     inside the trace would be skipped whenever a compiled program is
     reused (a strict_f64 flip after warm-up would silently not raise)."""
-    re = jnp.asarray(re)
-    im = jnp.asarray(im)
-    cdtype = complex_dtype_for(re.dtype, im.dtype)
+    dt_re = getattr(re, "dtype", None) or np.asarray(re).dtype
+    dt_im = getattr(im, "dtype", None) or np.asarray(im).dtype
+    cdtype = complex_dtype_for(dt_re, dt_im)
     rdtype = np.zeros((), np.dtype(cdtype)).real.dtype
-    re = re.astype(rdtype)
-    im = im.astype(rdtype)
+    if rdtype == np.dtype(np.float64) and f64_host_mode():
+        # Keep f64 planes OFF the accelerator entirely: even the
+        # host->device transfer of f64 data is unsupported on some
+        # runtimes, and call() routes their programs to the CPU anyway.
+        dev = _cpu_device()
+        re = jax.device_put(np.asarray(re, rdtype), dev)
+        im = jax.device_put(np.asarray(im, rdtype), dev)
+    else:
+        re = jnp.asarray(re).astype(rdtype)
+        im = jnp.asarray(im).astype(rdtype)
     if planar_mode():
         return PlanarComplex(re, im)
     return call(_combine, re, im)

@@ -79,7 +79,12 @@ class DspConfig:
     # silently degrade f64 to f32 grade raises FloatingPointError
     # instead — f64 work must run on CPU or through the *_prec
     # device double-float reductions (which meet f64 grade anywhere).
-    strict_f64: bool = False
+    # "host": f64 flavors KEEP their dtype and their programs run on
+    # the host CPU backend (_planar.call routes by argument placement);
+    # true f64 results at host speed, the literal analog of the
+    # reference's "f64 computes in f64, roughly two times slower"
+    # guidance.  f32 flavors stay on the accelerator either way.
+    strict_f64: "bool | str" = False
     # Production guard (VERDICT r3 weak #6): when True, ops that would
     # silently take a known catastrophically-slow TPU path (per-sample
     # gather windows in interpolatef — multi-second stalls at 4M
@@ -197,6 +202,8 @@ def warn_if_no_native_f64() -> None:
     except Exception:
         return
     if platform == "tpu":
+        if default_config().strict_f64 == "host":
+            return  # f64 flavors route to the host CPU backend
         if default_config().strict_f64:
             raise FloatingPointError(
                 "strict_f64: x64 flavors requested on a TPU backend "

@@ -244,7 +244,16 @@ class DspVector:
                     np.ascontiguousarray(host.real),
                     np.ascontiguousarray(host.imag))
             else:
-                data = jnp.asarray(data)
+                host = np.asarray(data) if isinstance(
+                    data, (np.ndarray, list, tuple)) else data
+                if (getattr(host, "dtype", None) is not None
+                        and jnp.dtype(host.dtype) == jnp.dtype(jnp.float64)
+                        and _planar.f64_host_mode()):
+                    # strict_f64="host": f64 data stays on the host CPU
+                    # backend (see _planar.call routing).
+                    data = jax.device_put(host, _planar._cpu_device())
+                else:
+                    data = jnp.asarray(host)
         if data.ndim != self._NDIM:
             raise ValueError(
                 f"{type(self).__name__} expects {self._NDIM}-D data; "

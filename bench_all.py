@@ -112,6 +112,13 @@ def merge_captures(path: str, session: dict, probe_us: float) -> dict:
                 return False
             if cfg["floor_ms"] / c["measured_ms"] > 1.5:
                 return False
+            # HBM bytes are a hard wall: constant folding can skip
+            # modeled matmul work, never modeled traffic.  A capture
+            # below bytes_ms is a drift artifact (a drifting tunnel
+            # fabricated cfg4 at 0.33x bytes_ms and cfg5 at 0.91x).
+            bytes_ms = cfg.get("model", {}).get("bytes_ms")
+            if bytes_ms and c["measured_ms"] < 0.98 * bytes_ms:
+                return False
             return True
 
         pool = [c for c in caps if _ok(c)] or caps
@@ -330,7 +337,11 @@ def main():
     def cfg2(xr, xi, h, carry):
         re, im = conv_ops.convolve_signal_planar(
             xr + carry, xi, h.astype(jnp.complex64))
-        return jnp.concatenate([re, im])
+        # re + im feeds the fold (every element of both planes is live);
+        # a concatenate here measured 0.94 ms for the same 0.27 ms chain
+        # (probe_cfg2_reg2) — the concat + pad/reshape fold pattern
+        # defeats XLA's loop fusion and triples the measured time.
+        return re + im
 
     dt = timed(cfg2, x_re, x_im, taps, iters=50)
     record("rc_fir_4m", n2, dt, 20.0 * n2, 1536.0 * n2,
@@ -373,7 +384,7 @@ def main():
 
     def cfg4(sr, si, carry):
         re, im = pipelines.modulation_chain_planar(sr + carry, si)
-        return jnp.concatenate([re, im])
+        return re + im  # see cfg2: concat defeats loop fusion
 
     dt = timed(cfg4, s_re, s_im, iters=50)
     record("modulation_chain_131k_symbols", 10 * n4, dt,

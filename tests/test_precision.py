@@ -202,3 +202,43 @@ def test_strict_f64_raises_on_degrading_backend(monkeypatch):
         config.set_default_config(cfg0)
     # default (non-strict) config: same backend degrades with the cap
     assert _planar.complex_dtype_for(np.float64) == jnp.dtype(np.complex64)
+
+
+@pytest.mark.requires_x64
+def test_strict_f64_host_mode_keeps_f64_grade(monkeypatch):
+    """strict_f64="host" on a no-f64 backend: f64 flavors keep their
+    dtype and compute on the host CPU backend at true f64 grade
+    (reference contract vector_types/mod.rs:121-123), instead of raising
+    (True) or capping to f32 grade (False)."""
+    import dataclasses
+
+    import jax
+
+    from basic_dsp_tpu import _planar
+
+    monkeypatch.setattr(_planar, "_native_f64", False)
+    cfg0 = config.default_config()
+    config.set_default_config(dataclasses.replace(cfg0, strict_f64="host"))
+    try:
+        assert _planar.complex_dtype_for(np.float64) == jnp.dtype(
+            np.complex128)
+        rng = np.random.default_rng(7)
+        data = (rng.normal(size=256) + 1j * rng.normal(size=256))
+        v = bd.to_complex_time_vec(data)
+        out = v.plain_fft().to_numpy()
+        ref = np.fft.fft(data)
+        assert out.dtype == np.complex128
+        np.testing.assert_allclose(out, ref, rtol=0, atol=1e-9 *
+                                   np.max(np.abs(ref)))
+        # the program ran on (and its result lives on) the CPU backend
+        dev = list(v._data.re.devices() if _planar.is_planar(v._data)
+                   else v._data.devices())[0]
+        assert dev.platform == "cpu"
+        # f64 REAL flavors stay f64 on the host too
+        r = bd.to_real_time_vec(np.linspace(0, 1, 128))
+        assert r.to_numpy().dtype == np.float64
+        np.testing.assert_allclose(r.scale(3.0).to_numpy(),
+                                   np.linspace(0, 1, 128) * 3.0,
+                                   rtol=1e-15)
+    finally:
+        config.set_default_config(cfg0)
