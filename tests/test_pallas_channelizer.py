@@ -22,13 +22,18 @@ def _signal(n, seed=0):
         np.complex64)
 
 
-@pytest.mark.parametrize("C,n1", [(256, 2), (512, 4)])
-def test_channelizer_pallas_matches_xla(C, n1):
-    S = 2 * ckp.DEFAULT_TILE_ROWS
+@pytest.mark.parametrize("C,n1,tile", [(256, 2, None), (512, 4, None),
+                                       (1024, 8, 128)])
+def test_channelizer_pallas_matches_xla(C, n1, tile):
+    # the (1024, 8) case is the cfg5 geometry: full radix-2 inner IFFT
+    # depth and all 8 per-group twiddled outer-IDFT constant blocks, at
+    # a small tile so interpret mode stays fast.
+    tile = tile or ckp.DEFAULT_TILE_ROWS
+    S = 2 * tile
     n = S * C
     x = _signal(n, seed=C)
     proto = (np.hamming(C * 8) / C).astype(np.float32)
-    assert ckp.supported(C, S, 8)
+    assert ckp.supported(C, S, 8, tile_rows=tile)
 
     expected = np.asarray(channelizer.channelize_and_demod(
         jnp.asarray(x.real) + 1j * jnp.asarray(x.imag),
@@ -37,7 +42,7 @@ def test_channelizer_pallas_matches_xla(C, n1):
     taps_merged = channelizer._merged_tap_rows(jnp.asarray(proto), C)
     ang = ckp.channelize_demod_pallas(
         jnp.asarray(x.real), jnp.asarray(x.imag), taps_merged, C,
-        interpret=True)
+        tile_rows=tile, interpret=True)
     got = np.asarray(ang).reshape(S, n1, 128).transpose(2, 1, 0).reshape(
         C, S)
     assert got.shape == expected.shape
@@ -46,7 +51,7 @@ def test_channelizer_pallas_matches_xla(C, n1):
     # (elements with |z| ~ 0 have no defined phase to disagree about).
     zr, zi = ckp.channelize_demod_pallas(
         jnp.asarray(x.real), jnp.asarray(x.imag), taps_merged, C,
-        demod=False, interpret=True)
+        tile_rows=tile, demod=False, interpret=True)
     amp = np.hypot(np.asarray(zr), np.asarray(zi)).reshape(
         S, n1, 128).transpose(2, 1, 0).reshape(C, S)
     d = np.abs(np.angle(np.exp(1j * (got - expected))))
