@@ -59,9 +59,17 @@ def complex_dtype_for(*dtypes):
 
 def f64_host_mode() -> bool:
     """True when f64-flavor programs must run on the host CPU backend:
-    ``DspConfig.strict_f64 == "host"`` on a no-native-f64 device."""
+    ``DspConfig.strict_f64 == "host"`` (the default) on a no-native-f64
+    device, with x64 enabled.
+
+    Inert while ``jax_enable_x64`` is off: without x64 the f64 dtypes do
+    not exist (``device_put`` canonicalizes f64->f32 — round-4 advisor
+    finding), so routing would silently store f32 under an f64 promise,
+    and plain numpy inputs (f64 by default) would wrongly drag every
+    vector onto the host."""
     from . import config
     return (config.default_config().strict_f64 == "host"
+            and bool(jax.config.jax_enable_x64)
             and not _has_native_f64())
 
 
@@ -71,12 +79,22 @@ def _is_f64_family(a) -> bool:
         jnp.dtype(jnp.float64), jnp.dtype(jnp.complex128))
 
 
+def _is_weak_scalar(a) -> bool:
+    # Python-scalar-derived operands (weak-typed or 0-d) must not decide
+    # host routing: under x64, ``jnp.asarray(1+2j)`` yields weak f64
+    # planes, and treating them as f64-family would silently route an
+    # all-f32 chain (e.g. scaling an f32 vector by a complex scalar) to
+    # the host CPU — contradicting "f32 flavors stay on the accelerator"
+    # (round-4 advisor finding).
+    return bool(getattr(a, "weak_type", False)) or getattr(a, "ndim", None) == 0
+
+
 def _wants_host(arrays) -> bool:
     for a in arrays:
         if is_planar(a):
-            if _is_f64_family(a.re):
+            if _is_f64_family(a.re) and not _is_weak_scalar(a.re):
                 return True
-        elif _is_f64_family(a):
+        elif _is_f64_family(a) and not _is_weak_scalar(a):
             return True
     return False
 

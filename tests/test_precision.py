@@ -200,8 +200,17 @@ def test_strict_f64_raises_on_degrading_backend(monkeypatch):
             bd.to_complex_time_vec(np.zeros(64, np.complex128))
     finally:
         config.set_default_config(cfg0)
-    # default (non-strict) config: same backend degrades with the cap
-    assert _planar.complex_dtype_for(np.float64) == jnp.dtype(np.complex64)
+    # the DEFAULT config keeps the f64 contract via host routing
+    # (VERDICT r4 #7: strict_f64="host" is the default) ...
+    assert config.DspConfig().strict_f64 == "host"
+    assert _planar.complex_dtype_for(np.float64) == jnp.dtype(np.complex128)
+    # ... and the opt-in fast mode degrades with the cap
+    config.set_default_config(dataclasses.replace(cfg0, strict_f64=False))
+    try:
+        assert _planar.complex_dtype_for(np.float64) == jnp.dtype(
+            np.complex64)
+    finally:
+        config.set_default_config(cfg0)
 
 
 @pytest.mark.requires_x64
@@ -242,3 +251,26 @@ def test_strict_f64_host_mode_keeps_f64_grade(monkeypatch):
                                    rtol=1e-15)
     finally:
         config.set_default_config(cfg0)
+
+
+@pytest.mark.requires_x64
+def test_host_routing_ignores_weak_scalars():
+    """Round-4 advisor (medium): a Python complex scalar operand becomes
+    weak-typed f64 planes under x64 — it must NOT flag an all-f32 chain
+    as f64-family (which would silently route it to the host CPU and
+    keep pulling downstream f32 ops there)."""
+    import jax.numpy as jnp
+
+    from basic_dsp_tpu import _planar
+
+    scal = _planar.PlanarComplex(jnp.asarray((1 + 2j).real),
+                                 jnp.asarray((1 + 2j).imag))
+    f32 = jnp.zeros(8, jnp.float32)
+    assert not _planar._wants_host((f32, scal))
+    # weak 0-d real scalar: same rule
+    assert not _planar._wants_host((f32, jnp.asarray(3.0)))
+    # a genuine f64 ARRAY operand still routes
+    f64 = jnp.zeros(8, jnp.float64)
+    assert _planar._wants_host((f32, f64))
+    planar64 = _planar.PlanarComplex(f64, f64)
+    assert _planar._wants_host((planar64,))
