@@ -121,6 +121,18 @@ REPS = 5
 #                       Re-A/B'd under the permuted layout 2026-08-19:
 #                       0.871 vs 0.592 — still loses; stays off).
 CARRY = os.environ.get("BENCH_CARRY", "array")
+# Four-step split (round 5, probe_n1_sweep2 on-chip): n1=128 -> L2=256,
+# ONE radix-2 Stockham stage + c=2 assembly instead of n1=64's radix-4
+# stage + 32-piece assembly; stage-1 doubles its (const-weight, presplit)
+# FLOPs but stays bytes-bound.  Same-session A/B: n1=64 0.580 ms/iter vs
+# n1=128 0.480 (0.691 -> 0.835 of the 0.401 ms floor); n1=256 (no
+# Stockham at all) loses at 0.553 — stage-1's 6.4 GFLOP tips past its
+# byte floor.  This matches the LIBRARY default dispatch
+# (fourstep.factor prefers 128); rounds 1-4 overrode it with n1=64 on a
+# pre-permuted-layout measurement.  The floor model stays pinned to the
+# cheaper n1=64 formulation's 12.35 GFLOP (VERDICT r4 weak #4:
+# formulation-relative floors must not inflate with the formulation).
+N1 = int(os.environ.get("BENCH_N1", "128"))
 TRANSPOSED = os.environ.get("BENCH_TRANSPOSED", "") == "1"
 FUSED = os.environ.get("BENCH_FUSED", "") == "1"
 # BENCH_BUDGET=high runs the chain's matmuls 3-pass (~5e-6 rel err,
@@ -190,7 +202,7 @@ def main():
                 # 0.598 ms/iter vs 0.879 for the complex-typed chain).
                 mag = pipelines.fir_fft_chain_planar.__wrapped__(
                     x_re * (1.0 + fb * 1e-30), x_im, taps_re, window,
-                    n1=64, fused=FUSED, transposed=TRANSPOSED,
+                    n1=N1, fused=FUSED, transposed=TRANSPOSED,
                     budget=BUDGET, wide=WIDE)
                 # scalar carry: the previous spectrum's first sample keeps
                 # every upstream stage live (each DFT output depends on

@@ -108,13 +108,194 @@ def _a2a_comm_fn(mesh, ln):
     return f
 
 
+def _build_workloads():
+    """The four sharded workloads + their comm models.  Returns
+    (workloads dict, signal factory) — shared by the in-process sweep and
+    the core-pinned per-point workers."""
+    import jax.numpy as jnp
+    from basic_dsp_tpu.parallel import (channelizer, sharded_fft,
+                                        sharded_convolve_signal,
+                                        sharded_interpolatef,
+                                        shard_time_axis)
+    from basic_dsp_tpu.conv_types import SincFunction
+
+    C = 64
+    proto_t = 8
+    h = _mk_signal(63, seed=1)
+    proto = jnp.asarray(np.hamming(C * proto_t).astype(np.float32) / C)
+
+    def conv_run(x, mesh):
+        return sharded_convolve_signal(shard_time_axis(x, mesh), h, mesh)
+
+    def chan_run(x, mesh):
+        return channelizer.sharded_channelize_and_demod(x, proto, C, mesh)
+
+    def fft_run(x, mesh):
+        return sharded_fft.sharded_fft(x, mesh)
+
+    def interp_run(x, mesh):
+        return sharded_interpolatef(shard_time_axis(x, mesh),
+                                    SincFunction(), 1.5, 0.0, 10, mesh)
+
+    return {
+        "sharded_conv": (conv_run, "halo", lambda n, d: 62 * 8),
+        "channelizer": (chan_run, "halo", lambda n, d: C * proto_t * 8),
+        "sharded_fft": (fft_run, "a2a",
+                        lambda n, d: 3 * (n // d) * 8 * (d - 1) / d),
+        "sharded_interpolatef": (interp_run, "halo",
+                                 lambda n, d: (10 + 384) * 8),
+    }
+
+
+N_STRONG = 1 << 20
+N_PER_DEV = 1 << 17
+
+
+def _point_worker(d: int, iters: int):
+    """One core-pinned scaling point: the parent ran us under
+    ``taskset -c 0..d-1``, so XLA's CPU intra-op pool has exactly ``d``
+    cores — one per mesh device.  The d=1 point is then a TRUE
+    single-core baseline (the r3/r4 artifacts' d=1 used all cores via
+    intra-op threading, structurally poisoning every efficiency number —
+    VERDICT r4 #5)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", d)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from basic_dsp_tpu.parallel import shard_time_axis
+
+    workloads = _build_workloads()
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices[:d]), ("dsp",))
+    out = {"devices": d, "affinity_cores": d, "workloads": {}}
+    for name, (run, comm_kind, ici_bytes) in workloads.items():
+        # Pre-shard ONCE: the r4 harness timed shard_time_axis's
+        # device_put inside the loop, which buried the op's own scaling
+        # under a per-call reshard copy (interp measured FLAT d=1->2
+        # while the pre-sharded op scales 1.9x).
+        x = shard_time_axis(_mk_signal(N_STRONG), mesh)
+        dt = _timeit(lambda: run(x, mesh), iters=iters)
+        ln = N_STRONG // d
+        if d == 1:
+            dt_comm = 0.0
+        elif comm_kind == "halo":
+            f = _halo_comm_fn(mesh, ln, 62, 62, np.complex64)
+            xs = shard_time_axis(x, mesh)
+            dt_comm = _timeit(lambda: f(xs), iters=iters)
+        else:
+            f = _a2a_comm_fn(mesh, ln)
+            x2 = jax.device_put(
+                jnp.zeros((d, N_STRONG // d), jnp.complex64),
+                jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(None, "dsp")))
+            dt_comm = 3 * _timeit(lambda: f(x2), iters=iters)
+        n_w = N_PER_DEV * d
+        xw = shard_time_axis(_mk_signal(n_w), mesh)
+        dt_w = _timeit(lambda: run(xw, mesh), iters=iters)
+        out["workloads"][name] = {
+            "strong_ms": round(dt * 1e3, 3),
+            "comm_ms": round(dt_comm * 1e3, 3),
+            "strong_msps": round(N_STRONG / dt / 1e6, 1),
+            "weak_n": n_w, "weak_ms": round(dt_w * 1e3, 3),
+        }
+    print("POINT_RESULT " + json.dumps(out), flush=True)
+
+
+def _pinned_sweep(args):
+    """Parent of the core-pinned sweep: one subprocess per point, each
+    under ``taskset -c 0..d-1`` so devices == cores at every point.
+    Writes the SCALING artifact with efficiencies that need no caveat:
+    eff_strong(d) = msps(d) / (d * msps(1)) with a true 1-core d=1."""
+    import subprocess
+    import sys as _sys
+
+    ncores = os.cpu_count() or 1
+    sizes = [d for d in (1, 2, 4, 8) if d <= ncores]
+    here = os.path.abspath(__file__)
+    points = []
+    for d in sizes:
+        cmd = ["taskset", "-c", f"0-{d - 1}" if d > 1 else "0",
+               _sys.executable, here, "--point", str(d),
+               "--iters", str(args.iters)]
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1800)
+        if r.returncode != 0:
+            _sys.stderr.write(r.stderr[-3000:])
+            raise RuntimeError(f"point d={d} failed")
+        for line in r.stdout.splitlines():
+            if line.startswith("POINT_RESULT "):
+                points.append(json.loads(line[len("POINT_RESULT "):]))
+    record = {"mode": "core-pinned subprocesses (taskset)",
+              "physical_cores": ncores,
+              "ici_gbps_model": ICI_GBPS,
+              "points": points, "workloads": {}}
+    names = list(points[0]["workloads"].keys())
+    for name in names:
+        entry = {"strong": [], "weak": [], "strong_efficiency": {},
+                 "weak_efficiency": {}}
+        base = points[0]["workloads"][name]
+        for p in points:
+            w = p["workloads"][name]
+            d = p["devices"]
+            entry["strong"].append({"devices": d, "ms": w["strong_ms"],
+                                    "comm_ms": w["comm_ms"],
+                                    "msamples_per_s": w["strong_msps"]})
+            entry["weak"].append({"devices": d, "n": w["weak_n"],
+                                  "ms": w["weak_ms"]})
+            if d > 1:
+                entry["strong_efficiency"][str(d)] = round(
+                    w["strong_msps"] / (d * base["strong_msps"]), 3)
+                entry["weak_efficiency"][str(d)] = round(
+                    base["weak_ms"] / w["weak_ms"], 3)
+        # ICI projection for the >=85% target on real hardware (the CPU
+        # numbers validate program structure; the link model carries the
+        # hardware claim, as in r4 — see module docstring).  Byte models
+        # mirror _build_workloads (halo volumes / 3x all_to_all).
+        ici_models = {
+            "sharded_conv": lambda n, d: 62 * 8,
+            "channelizer": lambda n, d: 64 * 8 * 8,
+            "sharded_fft": lambda n, d: 3 * (n // d) * 8 * (d - 1) / d,
+            "sharded_interpolatef": lambda n, d: (10 + 384) * 8,
+        }
+        t1 = entry["strong"][0]["ms"]
+        proj = []
+        for p in entry["strong"][1:]:
+            d = p["devices"]
+            t_comm = ici_models[name](N_STRONG, d) / (ICI_GBPS * 1e9) * 1e3
+            t_local = t1 / d
+            proj.append({"devices": d,
+                         "projected_efficiency": round(
+                             t_local / (t_local + t_comm), 4)})
+        entry["ici_projection"] = proj
+        record["workloads"][name] = entry
+        print(json.dumps({"metric": f"{name}_strong_eff_pinned",
+                          "value": entry["strong_efficiency"].get(
+                              str(points[-1]["devices"]), 1.0),
+                          "unit": "ratio"}), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"# wrote {args.out}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="run on an N-device virtual CPU mesh")
+    ap.add_argument("--point", type=int, default=0, metavar="D",
+                    help="(internal) one core-pinned point on D devices")
+    ap.add_argument("--pinned", action="store_true",
+                    help="core-pinned subprocess sweep (the artifact mode)")
     args = ap.parse_args()
+    if args.point:
+        _point_worker(args.point, args.iters)
+        return
+    if args.pinned:
+        _pinned_sweep(args)
+        return
 
     import jax
     if args.cpu:
