@@ -205,3 +205,138 @@ def runtime_ok() -> bool:
                 "See DspConfig.use_pallas_resample.",
                 RuntimeWarning, stacklevel=3)
     return _RUNTIME_OK[0]
+
+
+# ---------------------------------------------------------------------------
+# Row-block kernel for LARGE-Q rational factors (Q = 147: 44.1<->48 kHz).
+#
+# Q = 147 has no lane-aligned span below c = 128 (gcd(147, 128) = 1), so
+# the aligned-span kernel above cannot take it and the generic XLA
+# windows path pays ~5x its floor in relayouts.  With c = 1 the
+# formulation collapses to a pure row map: V = ext.reshape(rows, Q) is
+# free in HBM and the window dot DISTRIBUTES over row-shifted views
+# (out = sum_r V[j+r] @ M_r — interp_ops._rowblock_geometry/_matrices),
+# so the kernel is just 2 shifted-view 3-pass bf16 dots per tile — no
+# in-kernel slicing, no windows array anywhere.
+#
+# Round-5 on-chip attribution (1M, v5e, same-session A/B in
+# probe_audio_ab_r5.py):
+#   * raw (R, Q) blocks: 0.130 ms of PURE DMA — 588-byte rows scatter
+#     one by one into the lane-padded VMEM layout; dots free.
+#   * padded=True (V rows padded to 256 lanes in HBM, dense DMA):
+#     0.127 ms vs raw 0.138 vs XLA row-block matmuls 0.156 vs generic
+#     banded c=2 0.158 — SHIPPED default.
+#   * a dense-DMA variant (stream flat ext, reshape in VMEM) is not
+#     expressible: Mosaic dies with an INTERNAL error on the
+#     (1176, 128) -> (1024, 147) kernel reshape.
+#   * a degraded-tunnel session fabricated 0.0196 ms for the XLA form
+#     (spread 7.15, below the bytes wall) — spread-gate captures.
+# ---------------------------------------------------------------------------
+
+ROWBLOCK_MIN_Q = 64          # below this the aligned-span kernel applies
+ROWBLOCK_ROWS = 512          # output rows per grid step (multiple of 8)
+
+
+def rowblock_supported(P: int, Q: int, L: int, n: int) -> bool:
+    from ..ops import interp_ops
+    g = interp_ops._rowblock_geometry(P, Q, L)
+    if g is None:
+        return False
+    W0, off, s0, splits = g
+    return (Q >= ROWBLOCK_MIN_Q and P <= 4096 and n >= MIN_N
+            and off <= n and W0 * P * 4 <= MAX_M2_BYTES)
+
+
+def _rowblock_kernel(*refs, nviews):
+    out_ref = refs[-1]
+    acc = None
+    for k in range(nviews):
+        term = _dot3(refs[k][...], refs[nviews + 2 * k],
+                     refs[nviews + 2 * k + 1])
+        acc = term if acc is None else acc + term
+    out_ref[...] = acc
+
+
+def resample_rowblock_pallas(x: jnp.ndarray, taps, P: int, Q: int,
+                             offs, L: int, out_len: int,
+                             padded: bool = True,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Large-Q direct polyphase resample (see section comment).  Same
+    output contract as the generic banded path; 3-pass bf16 dot grade
+    (~1e-6 rel, the module-docstring precision note applies)."""
+    from ..ops import interp_ops
+    n = x.shape[-1]
+    W0, off, s0, splits = interp_ops._rowblock_geometry(P, Q, L)
+    mats, _ = interp_ops._rowblock_matrices(taps, P, Q, offs, L,
+                                            np.dtype(np.float32))
+    R = ROWBLOCK_ROWS
+    nrows = -(-out_len // P)
+    tiles = -(-nrows // R)
+    rows = tiles * R
+    max_shift = max(r for (r, _, _) in splits)
+    need = (rows + max_shift + 1) * Q
+    pieces = [x[n - off:]] if off else []
+    remaining = need - off
+    while remaining > 0:
+        take = min(remaining, n)
+        pieces.append(x[:take])
+        remaining -= take
+    ext = jnp.concatenate(pieces, axis=-1)
+    V = ext[: (rows + max_shift + 1) * Q].reshape(rows + max_shift + 1, Q)
+    Qk = Q
+    if padded:
+        Qk = LANES * (-(-Q // LANES))
+        V = jnp.pad(V, ((0, 0), (0, Qk - Q)))
+        mats = [np.pad(m, ((0, Qk - Q), (0, 0))) for m in mats]
+    xs = [jax.lax.slice_in_dim(V, r, r + rows, axis=0)
+          for (r, _, _) in splits]
+    consts = []
+    for m in mats:
+        mh = m.astype(jnp.bfloat16)
+        ml = (m - np.asarray(mh, np.float32)).astype(jnp.bfloat16)
+        consts += [jnp.asarray(mh), jnp.asarray(ml)]
+    in_specs = ([pl.BlockSpec((R, Qk), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * len(splits)
+                + [pl.BlockSpec((Qk, P), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)]
+                * (2 * len(mats)))
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024,
+                                  dimension_semantics=("parallel",))
+    out = pl.pallas_call(
+        functools.partial(_rowblock_kernel, nviews=len(splits)),
+        grid=(tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, P), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, P), jnp.float32),
+        compiler_params=params,
+        interpret=interpret,
+    )(*xs, *consts)
+    return out.reshape(-1)[:out_len]
+
+
+_ROWBLOCK_OK = [None]
+
+
+def rowblock_runtime_ok() -> bool:
+    """Once-per-process probe compile (see runtime_ok)."""
+    if _ROWBLOCK_OK[0] is None:
+        try:
+            with jax.ensure_compile_time_eval():
+                xp = jnp.zeros((MIN_N,), jnp.float32)
+                taps = np.zeros((160, 21), np.float32)
+                taps[:, 10] = 1.0
+                offs = tuple(int((p * 147) // 160) for p in range(160))
+                out = resample_rowblock_pallas(
+                    xp, taps, 160, 147, offs, 10, MIN_N * 160 // 147)
+                float(np.asarray(out)[0])
+            _ROWBLOCK_OK[0] = True
+        except Exception as e:
+            _ROWBLOCK_OK[0] = False
+            import warnings
+            warnings.warn(
+                "Pallas row-block resample kernel failed its probe "
+                f"compile on this runtime ({type(e).__name__}); using "
+                "the XLA row-block path for large-Q factors this "
+                "process.", RuntimeWarning, stacklevel=3)
+    return _ROWBLOCK_OK[0]

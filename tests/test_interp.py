@@ -509,3 +509,83 @@ def test_fail_on_slow_path_raises(monkeypatch):
     out = interp_ops.interpolatef(x[:4096], SincFunction(), 3.14159,
                                   0.0, 10, 1.0)
     assert out.shape[-1] == round(4096 * 3.14159)
+
+
+def test_rowblock_geometry_and_matrices():
+    """The large-Q row-block formulation (round 5): geometry invariants
+    and band-matrix correctness for a spread of (P, Q, L).  The window
+    [s0, s0+W0) of output row j must cover every input index the direct
+    semantics touch, and the per-view matrices must reassemble M0."""
+    from basic_dsp_tpu.ops import interp_ops
+
+    for P, Q, L in ((160, 147, 10), (147, 160, 10), (3, 147, 5),
+                    (441, 480, 12), (65, 64, 3)):
+        g = interp_ops._rowblock_geometry(P, Q, L)
+        if g is None:
+            continue
+        W0, off, s0, splits = g
+        maxoff = max((p * Q) // P for p in range(P))
+        # coverage: window starts at ext lane j*Q + s0; must cover
+        # [j*Q + off - L, j*Q + off + maxoff + L]
+        assert s0 <= off - L
+        assert s0 + W0 > off + maxoff + L
+        # splits tile [s0, s0+W0) exactly
+        covered = []
+        for (r, lo, hi) in splits:
+            covered.extend(range(r * Q + lo, r * Q + hi))
+        assert covered == list(range(s0, s0 + W0)), (P, Q, L)
+        # view matrices reassemble M0
+        mats, _ = interp_ops._rowblock_matrices(
+            np.ones((P, 2 * L + 1), np.float32), P, Q,
+            tuple((p * Q) // P for p in range(P)), L, np.dtype(np.float32))
+        M0 = np.zeros((W0, P), np.float32)
+        cum = 0
+        for (r, lo, hi), m in zip(splits, mats):
+            M0[cum:cum + hi - lo] = m[lo:hi]
+            cum += hi - lo
+        pp, tt = np.meshgrid(np.arange(P), np.arange(2 * L + 1),
+                             indexing="ij")
+        ww = (pp * Q) // P + tt + (off - s0 - L)
+        want = np.zeros((W0, P), np.float32)
+        want[ww.ravel(), pp.ravel()] = 1.0
+        np.testing.assert_array_equal(M0, want)
+
+
+def test_rowblock_path_matches_generic_banded():
+    """The rowblock dispatch (Q >= 64) must equal the generic banded
+    windows formulation bit-for-bit at matmul precision, for several
+    rationals and signal lengths (incl. n not divisible by Q)."""
+    import jax.numpy as jnp
+
+    from basic_dsp_tpu.ops import interp_ops
+
+    rng = np.random.default_rng(5)
+    for P, Q, L, n in ((160, 147, 10, 44113), (147, 160, 8, 32768),
+                       (97, 96, 6, 20000)):
+        x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        taps, offs = interp_ops.polyphase_taps(
+            _sinc_fun(), P, Q, 0.25, L, jnp.float32)
+        out_len = int(round(n * P / Q)); out_len += out_len % 2
+        got = interp_ops._interpolatef_rowblock(x, taps, P, Q, offs, L,
+                                                out_len)
+        M = interp_ops._direct_band_matrix(taps, P, Q, offs, L,
+                                           np.dtype(np.float32), 2)
+        nb = -(-out_len // (2 * P))
+        need = nb * 2 * Q + M.shape[0]
+        k = L % n
+        pieces = ([x[n - k:]] if k else [])
+        remaining = need - k
+        while remaining > 0:
+            take = min(remaining, n)
+            pieces.append(x[:take]); remaining -= take
+        ext = jnp.concatenate(pieces)
+        want = interp_ops._direct_apply(ext, jnp.asarray(M), P, Q, nb,
+                                        2)[:out_len]
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = float(jnp.max(jnp.abs(want)))
+        assert err < 2e-6 * max(scale, 1), (P, Q, err)
+
+
+def _sinc_fun():
+    from basic_dsp_tpu.conv_types import SincFunction
+    return SincFunction()

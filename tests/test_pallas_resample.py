@@ -99,3 +99,30 @@ def test_dispatch_uses_kernel_when_forced(monkeypatch):
     ref = np.asarray(interp_ops.interpolatef(
         x.astype(jnp.float64), SincFunction(), 1.5, 0.0, 10, 1.0))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_rowblock_kernel_matches_generic(interpret_only=True):
+    """The large-Q row-block kernel (padded + raw) vs the generic banded
+    oracle at 160/147 and the reverse 147/160 (interpret mode)."""
+    import jax.numpy as jnp
+
+    from basic_dsp_tpu.kernels import resample_pallas as rp
+    from basic_dsp_tpu.ops import interp_ops
+    from basic_dsp_tpu.conv_types import SincFunction
+
+    rng = np.random.default_rng(9)
+    for P, Q in ((160, 147), (147, 160)):
+        L = 10
+        n = 1 << 16
+        x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        taps, offs = interp_ops.polyphase_taps(SincFunction(), P, Q, 0.0,
+                                               L, jnp.float32)
+        out_len = int(round(n * P / Q)); out_len += out_len % 2
+        want = np.asarray(interp_ops._interpolatef_rowblock(
+            x, taps, P, Q, offs, L, out_len))
+        for padded in (True, False):
+            got = np.asarray(rp.resample_rowblock_pallas(
+                x, taps, P, Q, tuple(offs), L, out_len, padded=padded,
+                interpret=True))
+            scale = np.abs(want).max()
+            assert np.abs(got - want).max() < 2e-5 * scale, (P, Q, padded)
