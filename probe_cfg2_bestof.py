@@ -14,6 +14,27 @@ Floors at 4M complex64 (n = 2^22), m = 128:
 The decision rule (bench_all cfg2): ship the faster-on-the-clock path;
 report vs_baseline against the MIN of the two formulation floors so the
 ratio cannot be inflated by picking an expensive formulation.
+
+RESULT (2026-08-20, v5e, tunnel probe 2.08 us, spreads 1.03-1.14):
+
+  toeplitz       0.2208 ms   0.947 of its 0.209 ms floor   <- SHIPPED
+  os-pallas-4096 0.7579
+  os-pallas-2048 0.8093
+  os-pallas-1024 0.9865
+  os-xla-2048    0.9670
+
+Toeplitz is the right dispatch at m=128/4M by BOTH measures:
+(a) it wins the clock 3.4x; (b) its floor is the lower one under the
+three-resource model — overlap-save's FFT work is not free: realized
+as Stockham+DFT-128 MXU dots (the only competitive in-kernel FFT form,
+spectrum_pallas), two 4096-point transforms per block cost ~2x the
+flagship kernel's 6.44 GF = ~12.9 GF at f32-exact (0.42 ms at the
+measured 30.8 TFLOPS peak) vs Toeplitz's 6.44 GF (0.209 ms).  The
+bytes-only OS "floor" (in+out ~ 12 B/sample = 0.061 ms) is unreachable
+by any known formulation on this hardware; the Pallas OS kernel's own
+best (fft_len sweep above) is 3.4x the Toeplitz clock.  cfg2's
+vs_baseline therefore stands against the Toeplitz floor, which is the
+best-of-algorithms floor at this geometry (VERDICT r4 #6).
 """
 import numpy as np, jax, jax.numpy as jnp
 from basic_dsp_tpu.ops import conv_ops
