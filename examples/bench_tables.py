@@ -74,7 +74,7 @@ def build_ops():
         # --- convolution / interpolation (complex_bench.rs:83-163) ---
         "convolve_signal":
             lambda r, i, a, c: conv_ops.convolve_signal(
-                cplx(r, i, c), a, True),
+                cplx(r, i, c), a[0] + 1j * a[1], True),
         "interpolatei":
             lambda r, i, a, c: interp_ops.interpolatei(
                 cplx(r, i, c), sinc, 2, True),
@@ -86,7 +86,7 @@ def build_ops():
             lambda r, i, a, c: fft_ops.plain_ifft(
                 fft_ops.plain_fft(cplx(r, i, c))) / r.shape[-1],
         "window":
-            lambda r, i, a, c: cplx(r, i, c) * a,
+            lambda r, i, a, c: cplx(r, i, c) * a[0],
         "fft_ifft":
             lambda r, i, a, c: fft_ops.ifft_shifted(
                 fft_ops.fft_shifted(cplx(r, i, c))),
@@ -108,21 +108,25 @@ def main(max_exp=7, out_path="bench_tables.csv", with_f64=False):
         n = 10 ** exp
         x_re = jnp.asarray(rng.normal(size=n).astype(np.float32))
         x_im = jnp.asarray(rng.normal(size=n).astype(np.float32))
-        h = jnp.asarray((rng.normal(size=32) + 1j * rng.normal(size=32))
-                        .astype(np.complex64))
+        # planar taps: complex arrays cannot cross the host<->device
+        # boundary on the axon runtime (CLAUDE.md) — one failed transfer
+        # poisons the whole process's jax client.
+        h = (jnp.asarray(rng.normal(size=32).astype(np.float32)),
+             jnp.asarray(rng.normal(size=32).astype(np.float32)))
         win = HammingWindow().sample(n)
         iters = max(3, min(30, 10 ** 7 // n))
         for name, body in ops.items():
             if name in ("convolve_signal", "interpolatei", "interpolatef") \
                     and n > 10 ** 7:
                 continue  # shape-changing/conv ops: cap the sweep
-            aux = h if name == "convolve_signal" else win
+            aux = h if name == "convolve_signal" else (win, win)
 
-            def fn(r, i, a, carry, body=body):
-                return body(r, i, a, carry)
+            def fn(r, i, a1, a2, carry, body=body):
+                return body(r, i, (a1, a2), carry)
 
             try:
-                sec = bench_all.timed(fn, x_re, x_im, aux, iters=iters)
+                sec = bench_all.timed(fn, x_re, x_im, aux[0], aux[1],
+                                      iters=iters)
             except Exception as e:  # geometry misfit etc.: record, move on
                 print(f"{name}, {n}: SKIP ({type(e).__name__})", flush=True)
                 continue
