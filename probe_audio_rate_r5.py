@@ -52,7 +52,9 @@ idx = (base[:, None] + t[None, :] - L) % n
 want = (x64[idx] * np.float64(w)).sum(-1)
 err = np.abs(got[:out_len] - want).max() / np.abs(want).max()
 print(f"# parity dispatch vs f64 oracle: rel {err:.2e}", flush=True)
-assert err < 1e-5
+# 2e-5: the shipped Pallas kernel's 3-pass bf16 grade (the XLA fallback
+# form is exact-grade 2e-7; tests pin both).
+assert err < 2e-5
 
 fl_r4 = max(((2 * n + out_len) * 4.0 + (out_len // 320) * 384 * 4)
             / (HBM_GBPS * 1e6),
