@@ -360,7 +360,23 @@ def _rowfft_kernel(br_ref, bi_ref, wr_ref, wi_ref, fr_ref, fm_ref, fp_ref,
                    wide=False):
     gr = br_ref[...].reshape(rows, L2, LANES)
     gi = bi_ref[...].reshape(rows, L2, LANES)
-    if tw_refs:
+    if len(tw_refs) == 4:
+        # FACTORED big twiddle (round 5): T[k1, j1*128+j2] = A[k1, j1] *
+        # B[k1, j2] exactly (fourstep._dif_twiddle_factored) — the
+        # streamed planes shrink from (rows, n2) to (rows, L2) +
+        # (rows, 128), i.e. 32 MB -> 0.4 MB of HBM per 4M call; T is
+        # rebuilt here with two broadcast VPU multiplies.  (Full
+        # in-kernel cos/sin was measured SLOWER in r3: 8M VPU
+        # transcendentals; this form needs none.)
+        ar_ref, ai_ref, btr_ref, bti_ref = tw_refs
+        a_r = ar_ref[...][:, :, None]
+        a_i = ai_ref[...][:, :, None]
+        b_r = btr_ref[...][:, None, :]
+        b_i = bti_ref[...][:, None, :]
+        tr = a_r * b_r - a_i * b_i
+        ti = a_r * b_i + a_i * b_r
+        gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
+    elif tw_refs:
         # Big DIF twiddle T[k1, j] = w_N^(k1 j), streamed in as planar
         # block inputs and applied here — eliminates the separate XLA
         # C = B*T pass (read B + write C, 64 MB at 4M).  Computing T from
@@ -458,7 +474,8 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                transposed: bool = False,
                budget: str = None,
                permuted: bool = False,
-               wide: bool = False) -> jnp.ndarray:
+               wide: bool = False,
+               Tfac: tuple = None) -> jnp.ndarray:
     """|FFT(rows)| (optionally global-fftshift-folded) of planar rows.
 
     Br, Bi: (n1, n2) f32 planes of the post-stage-1 four-step data —
@@ -551,7 +568,24 @@ def rowfft_mag(Br: jnp.ndarray, Bi: jnp.ndarray, shift: bool = True,
                              nblocks=n1 // rows, transposed=transposed,
                              prec=_as_prec(budget), permuted=permuted,
                              wide=wide)
-    if fold_tw:
+    if Tfac is not None:
+        # factored twiddle: A (n1, L2) + B (n1, 128) row blocks.
+        a_spec = pl.BlockSpec((rows, L2), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+
+        def kernel(br, bi, ar, ai, btr, bti, wr, wi, fr, fm, fp,
+                   fmr, fmp, fmm, mag, *scr):
+            base(br, bi, wr, wi, fr, fm, fp, fmr, fmp, fmm, mag, *scr,
+                 tw_refs=(ar, ai, btr, bti))
+        in_specs = ([row_spec] * 2 + [a_spec, a_spec, b_spec, b_spec]
+                    + [w_spec, w_spec, f_spec, f_spec, f_spec,
+                       fm_spec, fm_spec, fm_spec])
+        Afr, Afi, Bfr, Bfi = (jnp.asarray(p_) for p_ in Tfac)
+        args = (Br, Bi, Afr, Afi, Bfr, Bfi, Wr, Wi, Fr, Fm, Fp,
+                Fmr, Fmp, Fmm)
+    elif fold_tw:
         def kernel(br, bi, tr, ti, wr, wi, fr, fm, fp, fmr, fmp, fmm,
                    mag, *scr):
             base(br, bi, wr, wi, fr, fm, fp, fmr, fmp, fmm, mag, *scr,
@@ -720,15 +754,20 @@ def dif_spectrum_mag_pallas(xw: jnp.ndarray, n1: int = 0,
     k3 = jnp.matmul(Fp, Ai, precision=prec)
     Br, Bi = k1 - k3, k1 + k2
     if fold_twiddle:
-        # Kernel applies T from streamed block inputs — now the DEFAULT:
-        # with the planar/permuted kernel this measured 0.575 -> 0.441
-        # ms/iter at 4M (round-3 A/B, parity exact; the XLA-side multiply
-        # materializes C and the custom call re-copies operands).  Round
-        # 2's opposite verdict (0.904 vs 0.874) predates that layout.
-        M = rowfft_mag(Br, Bi, shift=True,
-                       interpret=interpret,
-                       Tr=jnp.asarray(Trn), Ti=jnp.asarray(Tin),
-                       transposed=transposed, permuted=not transposed)
+        # Kernel applies T in-kernel — the DEFAULT since round 3 (0.575
+        # -> 0.441 ms/iter at 4M vs the XLA-side C = B*T pass).  Round 5:
+        # T streams FACTORED (A + B outer-product planes, 32 MB -> 0.4
+        # MB of HBM; fourstep._dif_twiddle_factored) — same-session A/B
+        # 0.469 vs 0.493 ms/iter on the flagship chain (probe_tfac).
+        if not transposed:
+            M = rowfft_mag(Br, Bi, shift=True, interpret=interpret,
+                           Tfac=fourstep._dif_twiddle_factored(n1, n2),
+                           permuted=True)
+        else:
+            M = rowfft_mag(Br, Bi, shift=True,
+                           interpret=interpret,
+                           Tr=jnp.asarray(Trn), Ti=jnp.asarray(Tin),
+                           transposed=transposed, permuted=False)
     else:
         Tr, Ti = jnp.asarray(Trn), jnp.asarray(Tin)
         Cr = Br * Tr - Bi * Ti

@@ -77,6 +77,32 @@ def _dif_planes(n1: int, n2: int):
 
 
 @functools.lru_cache(maxsize=16)
+def _dif_twiddle_factored(n1: int, n2: int):
+    """The DIF big twiddle T[k1, j] = w_N^(k1 j) factored EXACTLY as an
+    outer product over the lane split j = j1*128 + j2::
+
+        T[k1, j1*128 + j2] = A[k1, j1] * B[k1, j2]
+        A[k1, j1] = w_N^(128 k1 j1);  B[k1, j2] = w_N^(k1 j2)
+
+    (products of exact exponentials — one extra f32 rounding vs the
+    dense host-f64 T).  Streaming (A, B) into the spectrum kernel costs
+    (n1*L2 + n1*128) elements instead of n1*n2 — 32 MB -> 0.4 MB of HBM
+    per 4M iteration; the kernel rebuilds T with two broadcast VPU
+    multiplies (~6 extra ops/element, 0.007 ms at the measured VPU
+    rate).  Returns (Ar, Ai, Br, Bi) numpy f32, A: (n1, n2//128),
+    B: (n1, 128)."""
+    N = n1 * n2
+    k1 = np.arange(n1)
+    L2 = n2 // 128
+    A = np.exp(-2j * np.pi * np.outer(k1, 128 * np.arange(L2)) / N)
+    B = np.exp(-2j * np.pi * np.outer(k1, np.arange(128)) / N)
+    return (np.ascontiguousarray(A.real.astype(np.float32)),
+            np.ascontiguousarray(A.imag.astype(np.float32)),
+            np.ascontiguousarray(B.real.astype(np.float32)),
+            np.ascontiguousarray(B.imag.astype(np.float32)))
+
+
+@functools.lru_cache(maxsize=16)
 def _dit_planes(n1: int, n2: int, shift: bool):
     """(F_re, F_im, T_re, T_im) for the DIT dual.
 

@@ -106,12 +106,13 @@ def modulation_chain_planar(sr: jnp.ndarray, si: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("n1", "interpret", "fused",
                                               "transposed", "budget",
-                                              "wide"))
+                                              "wide", "factored_tw"))
 def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
                          taps: jnp.ndarray, window: jnp.ndarray,
                          n1: int = 0, interpret: bool = False,
                          fused: bool = False, transposed: bool = False,
-                         budget: str = None, wide: bool = False):
+                         budget: str = None, wide: bool = False,
+                         factored_tw: bool = True):
     """All-planar flagship chain: centered real-tap FIR + window + shifted
     FFT magnitude, with complex data carried as (re, im) f32 planes from
     entry to exit — interleaved complex64 is never materialized.
@@ -193,10 +194,20 @@ def fir_fft_chain_planar(xr: jnp.ndarray, xi: jnp.ndarray,
     # ms/iter at 4M (round-3 A/B; parity exact).  Round 2's opposite
     # verdict predates the planar/permuted kernel.
     from .kernels.spectrum_pallas import rowfft_mag
-    M = rowfft_mag(Br, Bi, shift=True, interpret=interpret,
-                   Tr=jnp.asarray(Trn), Ti=jnp.asarray(Tin),
-                   transposed=transposed, budget=kern_budget,
-                   permuted=not transposed, wide=wide)
+    if factored_tw and not transposed and not wide:
+        # Round-5: the big twiddle streams FACTORED (A (n1, L2) +
+        # B (n1, 128) instead of the dense (n1, n2) planes): 32 MB ->
+        # 0.4 MB of twiddle HBM per 4M call, rebuilt in-kernel with two
+        # broadcast VPU multiplies (fourstep._dif_twiddle_factored).
+        Tfac = fourstep._dif_twiddle_factored(n1, n2)
+        M = rowfft_mag(Br, Bi, shift=True, interpret=interpret,
+                       Tfac=Tfac, transposed=False,
+                       budget=kern_budget, permuted=True)
+    else:
+        M = rowfft_mag(Br, Bi, shift=True, interpret=interpret,
+                       Tr=jnp.asarray(Trn), Ti=jnp.asarray(Tin),
+                       transposed=transposed, budget=kern_budget,
+                       permuted=not transposed, wide=wide)
     if transposed:
         # Kernel wrote (k2s, k1', k1) directly: natural order is flat.
         return M.reshape(-1)

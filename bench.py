@@ -44,17 +44,22 @@ profile_r2.log, replacing round 1's unjustified "7.5 round trips"):
 
   FIR (Toeplitz matmuls)      read x 32 MB + write 32 MB        =  64 MB
   spectrum stage-1 FFT        read 32 + write 32 (XLA batched)  =  64 MB
-  twiddle+DFT-matmul+|.|      read 32 + twiddle 32 + mag 16     =  80 MB
+  twiddle+DFT-matmul+|.|      read 32 + twiddle ~0.4 + mag 16   =  48 MB
   magnitude transpose         read 16 + write 16                =  32 MB
-                                                         total  = 240 MB
-  (= 60 B/sample; the window multiply fuses into stage-1's read)
+                                                         total  = 208 MB
+  (= 52 B/sample; the window multiply fuses into stage-1's read; the
+  big twiddle streams FACTORED since round 5 — A (n1, L2) + B (n1,
+  128) outer-product planes instead of the dense 32 MB, rebuilt
+  in-kernel with two broadcast VPU multiplies,
+  fourstep._dif_twiddle_factored; A/B'd +0.02-0.03 ms, probe_tfac)
 
 With the honest ARRAY carry the measured loop body additionally reads the
 previous iteration's full 16 MB spectrum at the input scale (that read is
 exactly what makes every output element live — the DCE-proof property),
-so the measured program's minimum traffic is 256 MB = 64 B/sample; the
-chain proper remains 60. The denominator matches the carry mode in use.
-At 819 GB/s (v5e) 256 MB is 0.313 ms.
+so the measured program's minimum traffic is 224 MB = 56 B/sample; the
+chain proper remains 52. The denominator matches the carry mode in use.
+At 819 GB/s (v5e) 224 MB is 0.273 ms (the compute floor binds either
+way).
 
 Resource 2 — MXU matmul FLOPs of the shipped formulation (n = 4M):
 
@@ -276,7 +281,7 @@ def main():
     # samples + the 16 MB/iter feedback-spectrum read the array carry
     # necessarily adds, vs 12.35 GFLOP of precision-pinned matmuls at the
     # measured MXU peak for the active precision mode.
-    bytes_per_sample = 64.0 if CARRY == "array" else 60.0
+    bytes_per_sample = 56.0 if CARRY == "array" else 52.0
     hbm_gbps = _device_hbm_gbps(jax.devices()[0])
     bytes_t = bytes_per_sample * n / (hbm_gbps * 1e9)
     flops = 12.35e9

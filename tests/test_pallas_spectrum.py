@@ -143,7 +143,10 @@ def test_spectrum_transposed_output_matches(fold):
     got = np.asarray(jax.jit(lambda z: sp.dif_spectrum_mag_pallas(
         z, interpret=True, fold_twiddle=fold, transposed=True))(xd))
     assert got.shape == ref.shape
-    np.testing.assert_array_equal(got, ref)
+    # default path streams the FACTORED twiddle (round 5, one extra f32
+    # product rounding); transposed keeps dense T -> rounding-grade diff
+    np.testing.assert_allclose(got, ref, rtol=0,
+                               atol=1e-5 * np.abs(ref).max())
 
 
 @pytest.mark.parametrize("fused", [False, True])
@@ -163,7 +166,8 @@ def test_planar_chain_transposed_matches(fused):
     got = np.asarray(pipelines.fir_fft_chain_planar(
         xr, xi, jnp.asarray(taps), window, interpret=True, fused=fused,
         transposed=True))
-    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_allclose(got, ref, rtol=0,
+                               atol=1e-5 * np.abs(ref).max())
 
 
 @pytest.mark.parametrize("n1,n2", [(8, 32768), (16, 4096)])
