@@ -313,8 +313,10 @@ def main():
     # stage-1 pruned to ONE dot by the zero imag plane (2*128 F/sample)
     # + kernel sublane DFT-64 (3*2*64) + lane DFT-128 (3*2*128) = 1408
     # F/sample -> 0.046 ms.  Bytes: carry r4 + x r4 (window fused) +
-    # stage-1 out w8 + streamed twiddle r8 + kernel r8 + mag w4 +
-    # transpose r4 w4 = 44 B/sample -> 0.054 ms -> HBM-bound.
+    # stage-1 out w8 + kernel r8 + mag w4 + transpose r4 w4 = 36
+    # B/sample (round 5: the big twiddle streams FACTORED — two
+    # outer-product planes, ~0 B/sample instead of r8;
+    # fourstep._dif_twiddle_factored) -> 0.044 ms -> compute/HBM mixed.
     n1 = 1 << 20
     sine = jnp.asarray(np.sin(2 * np.pi * 0.01 * np.arange(n1))
                        .astype(np.float32))
@@ -326,7 +328,7 @@ def main():
         return pipelines._shifted_mag((x + carry) * w)
 
     dt = timed(cfg1, sine, w1, iters=50)
-    record("windowed_fft_magnitude_1m", n1, dt, 44.0 * n1, 1408.0 * n1,
+    record("windowed_fft_magnitude_1m", n1, dt, 36.0 * n1, 1408.0 * n1,
            "real-pruned four-step n1=128 + Pallas tail; window fused")
 
     # ---- Config 2: 4M complex RC FIR. ----
