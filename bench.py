@@ -7,12 +7,13 @@ The chain is the all-planar path (pipelines.fir_fft_chain_planar): complex
 data travels as (re, im) f32 planes end to end (complex64 is interleaved on
 TPU — every real()/imag()/complex() boundary is a relayout pass, and a
 complex-cast FIR runs twice the Toeplitz MXU work), the spectrum is the
-four-step split with the n1=64 stage-1 DFT in XLA and the inner row FFT +
+four-step split with the stage-1 DFT-n1 in XLA and the inner row FFT +
 fftshift + magnitude as the Pallas VMEM kernel
-(kernels/spectrum_pallas.py: Stockham radix stages to m=128, then MXU
-DFT-128 matmuls).  Measured progression at 4M (probe_planar.log,
-probe_breakdown.log): complex chain + XLA tail 0.88 ms -> planar + Pallas
-tail n1=128 0.625 -> n1=64 0.598 ms/iter.
+(kernels/spectrum_pallas.py: one radix-2 Stockham stage at n1=128, then
+MXU DFT-128 matmuls; big twiddle streamed FACTORED).  Measured
+progression at 4M: complex chain + XLA tail 0.88 ms (r1) -> planar +
+Pallas tail 0.598 (r3, n1=64) -> n1=128 0.480 (r5, probe_n1_sweep2) ->
+factored twiddle 0.464-0.487 (r5, probe_tfac).
 
 taps and window are jit CONSTANTS (closed over), not runtime arguments:
 they are fixed parameters of a deployed filter chain, and specializing
