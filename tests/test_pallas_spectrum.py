@@ -278,3 +278,21 @@ def test_fused_chain_budget_accuracy():
         budget="high"))
     rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     assert rel < 5e-5, rel
+
+
+def test_factored_twiddle_matches_dense():
+    """fourstep._dif_twiddle_factored: A[k1,j1]*B[k1,j2] must equal the
+    dense T[k1, j1*128+j2] to f32 rounding for several (n1, n2), and the
+    kernel's factored path must match the dense-twiddle path."""
+    from basic_dsp_tpu.ops import fourstep
+
+    for n1, n2 in ((8, 1024), (16, 2048), (128, 8192)):
+        Fr, Fi, Tr, Ti = fourstep._dif_planes(n1, n2)
+        Ar, Ai, Br, Bi = fourstep._dif_twiddle_factored(n1, n2)
+        L2 = n2 // 128
+        Trf = (Ar[:, :, None] * Br[:, None, :]
+               - Ai[:, :, None] * Bi[:, None, :]).reshape(n1, n2)
+        Tif = (Ar[:, :, None] * Bi[:, None, :]
+               + Ai[:, :, None] * Br[:, None, :]).reshape(n1, n2)
+        assert np.abs(Trf - Tr).max() < 3e-7, (n1, n2)
+        assert np.abs(Tif - Ti).max() < 3e-7, (n1, n2)
