@@ -58,8 +58,24 @@ def main():
     result = run(nproc, local_devices, n)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "MULTIHOST_r05.json")
+    # accumulate runs (keyed by process topology) instead of overwriting
+    record = {"ok": True, "runs": []}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                old = json.load(f)
+            record["runs"] = old.get("runs", [old] if "checks" in old
+                                     else [])
+        except Exception:
+            pass
+    key = (result["n_processes"], result["local_devices_per_process"])
+    record["runs"] = [r for r in record["runs"]
+                      if (r["n_processes"],
+                          r["local_devices_per_process"]) != key]
+    record["runs"].append(result)
+    record["ok"] = all(r["ok"] for r in record["runs"])
     with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(record, f, indent=1)
     print(json.dumps(result))
     print(f"wrote {out_path}", file=sys.stderr)
     sys.exit(0 if result["ok"] else 1)
