@@ -7,7 +7,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import basic_dsp_tpu as bd
 
-best = bd.autotune.calibrate(n=1 << 18, m=64,
-                             candidates=(512, 1024, 2048, 4096), iters=3)
+best = bd.autotune.calibrate(n=1 << 18,
+                             block_candidates=(512, 1024, 2048, 4096),
+                             iters=2)
 bd.autotune.print_calibration()
-print(f"default config now uses fft_block_len={best}")
+print(f"calibration installed: {best}")
