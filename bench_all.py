@@ -110,7 +110,8 @@ def merge_captures(path: str, session: dict, probe_us: float) -> dict:
             sp = c.get("slope_spread")
             if sp is not None and sp > 1.5:
                 return False
-            if cfg["floor_ms"] / c["measured_ms"] > 1.5:
+            if cfg["floor_ms"] / c["measured_ms"] > cfg.get(
+                    "max_vs_floor", 1.5):
                 return False
             # HBM bytes are a hard wall: constant folding can skip
             # modeled matmul work, never modeled traffic.  A capture
@@ -289,7 +290,8 @@ def main():
     results = []
 
     def record(name, samples, dt, bpi, fpi, note,
-               mxu_tflops=MXU_TFLOPS_HIGHEST, vpu_opi=0.0):
+               mxu_tflops=MXU_TFLOPS_HIGHEST, vpu_opi=0.0,
+               max_vs_floor=1.5):
         fl, bound, bt, ft = floor_ms(bpi, fpi, mxu_tflops, vpu_opi)
         spread = round(getattr(timed, "last_spread", 1.0), 3)
         results.append({
@@ -301,6 +303,15 @@ def main():
             "slope_spread": spread,
             "floor_ms": round(fl, 4),
             "bound": bound,
+            # Per-config capture-sanity ceiling (merge _ok): how far past
+            # the modeled floor a REAL capture can sit.  Const-weight
+            # configs reach 1.3-1.4x (XLA presplits the constant operand
+            # past the measured square peak); configs whose weights are
+            # RUNTIME arguments have no such slack and anything past
+            # ~1.05x implies more-than-peak MXU throughput, i.e. a
+            # drifting-tunnel fabrication (a probe_us=56 session
+            # fabricated cfg2 at 1.23x on 2026-08-21).
+            "max_vs_floor": max_vs_floor,
             "model": {"bytes_mb": round(bpi / 1e6, 1),
                       "mxu_gflops": round(fpi / 1e9, 3),
                       "bytes_ms": round(bt, 4), "flops_ms": round(ft, 4),
@@ -355,8 +366,12 @@ def main():
         return re + im
 
     dt = timed(cfg2, x_re, x_im, taps, iters=50)
+    # max_vs_floor 1.05: taps are runtime ARGS here (no const presplit)
+    # and the floor already under-counts the 4-mult complex dots as
+    # Karatsuba-3 — past ~1.05 means past the measured MXU peak.
     record("rc_fir_4m", n2, dt, 20.0 * n2, 1536.0 * n2,
-           "complex Toeplitz MXU, 2 band shifts, 128 taps")
+           "complex Toeplitz MXU, 2 band shifts, 128 taps",
+           max_vs_floor=1.05)
 
     # ---- Config 3: fractional resampling x1.5 of 1M audio samples
     # (slow_down_music), complex stereo-as-IQ, PLANAR. ----
